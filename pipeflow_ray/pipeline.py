@@ -1,0 +1,330 @@
+"""Fluent pipeline builder over ``ray.data.Dataset``.
+
+Mirrors the reference's two API shapes — the classic fluent chain
+(``PipeFlow.From.Csv(...).Filter(...).Map(...).ToCsv(...)``,
+``PipeFlow/PipeFlow.cs:21-65``) and the builder variant returning a
+``PipelineResult`` (``PipeFlow/Builder/PipelineBuilder.cs:163-197``) — as a
+thin, zero-cost wrapper around a lazy Ray ``Dataset`` plan. Operators apply
+strictly in chaining order (the reference contract, ``Pipeline.cs:121-131``);
+Ray Data's lazy logical plan preserves that for free.
+
+Nothing executes until a sink/action is called (``write_*``, ``to_list``,
+``count``, ``execute``) — matching the reference's pull-based laziness
+(``Pipeline.cs:104-119``) but with Ray's streaming executor (backpressure,
+block pipelining, spill) instead of a single-threaded enumerator.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+from pipeflow_ray.schema import canonicalize_columns
+from pipeflow_ray.stages import columns as col_ops
+from pipeflow_ray.stages import core as core_ops
+from pipeflow_ray.stages import dedup as dedup_ops
+
+
+@dataclass
+class PipelineResult:
+    """Analog of the reference's ``PipelineResult`` (``Builder/IPipelineBuilder.cs:55-83``)."""
+
+    success: bool
+    data: Any = None
+    processed_count: int = 0
+    execution_time_s: float = 0.0
+    errors: list[str] = field(default_factory=list)
+
+
+_AGG_FACTORIES = {
+    "count": lambda col, name: Count(alias_name=name),
+    "sum": lambda col, name: Sum(col, alias_name=name),
+    "mean": lambda col, name: Mean(col, alias_name=name),
+    "avg": lambda col, name: Mean(col, alias_name=name),
+    "average": lambda col, name: Mean(col, alias_name=name),
+    "min": lambda col, name: Min(col, alias_name=name),
+    "max": lambda col, name: Max(col, alias_name=name),
+    "std": lambda col, name: Std(col, alias_name=name),
+}
+
+
+class GroupedPipeline:
+    """Result of ``Pipeline.group_by`` (reference ``PipeFlow.cs:466-507``)."""
+
+    def __init__(self, pipeline: "Pipeline", keys: list[str]):
+        self._p = pipeline
+        self._keys = keys
+
+    def aggregate(self, **named_aggs: tuple[str, str] | str) -> "Pipeline":
+        """``aggregate(avg_salary=("mean", "Salary"), n=("count", None))`` —
+        built-in distributed aggs (partial+final under the hood). Reference
+        analog: ``GroupBy(keyColumn, (name, aggregator)...)``
+        (``PipeFlow.cs:480-507``), restricted to the decomposable aggregators
+        its tests exercise (Count/Average/Max — ``ExtensionTests.cs:137-152``)
+        plus Sum/Min/Std."""
+        aggs = []
+        for out_name, spec in named_aggs.items():
+            if isinstance(spec, str):
+                kind, col = spec, None
+            else:
+                kind, col = spec
+            aggs.append(_AGG_FACTORIES[kind.lower()](col, out_name))
+        return Pipeline(self._p._ds.groupby(self._keys).aggregate(*aggs))
+
+    def map_groups(self, fn, batch_format: str = "pyarrow", **kw) -> "Pipeline":
+        """Arbitrary per-group UDF (the reference's arbitrary
+        ``Func<IEnumerable<DataRow>, object>`` aggregator path) — accepts the
+        shuffle cost; groups are co-located by hash partitioning."""
+        return Pipeline(self._p._ds.groupby(self._keys).map_groups(fn, batch_format=batch_format, **kw))
+
+
+class Pipeline:
+    """Fluent, lazy pipeline over a Ray ``Dataset``."""
+
+    def __init__(self, ds: ray.data.Dataset):
+        self._ds = ds
+        self._batch_size: int | None = None  # reference Batch(n), PipeFlow.cs:206-216
+        self._concurrency: int | None = None  # reference Parallel(maxDOP), PipeFlow.cs:198-204
+
+    # ------------------------------------------------------------------ sources
+    @classmethod
+    def from_parquet(cls, paths, columns: list[str] | None = None, **kw) -> "Pipeline":
+        return cls(ray.data.read_parquet(paths, columns=columns, **kw))
+
+    @classmethod
+    def from_csv(cls, paths, **kw) -> "Pipeline":
+        """CSV source: Arrow CSV parse + type inference stands in for the
+        reference's hand-rolled parser/auto-convert (``PipeFlow/CsvReader.cs:68-234``)."""
+        return cls(ray.data.read_csv(paths, **kw))
+
+    @classmethod
+    def from_json(cls, paths, **kw) -> "Pipeline":
+        return cls(ray.data.read_json(paths, **kw))
+
+    @classmethod
+    def from_arrow(cls, table: pa.Table) -> "Pipeline":
+        return cls(ray.data.from_arrow(table))
+
+    @classmethod
+    def from_items(cls, items: list[dict]) -> "Pipeline":
+        """Reference ``From.Collection`` / ``From.DataRows`` (``PipeFlow.cs:51-65``)."""
+        return cls(ray.data.from_items(items))
+
+    @classmethod
+    def from_pandas(cls, df: pd.DataFrame) -> "Pipeline":
+        return cls(ray.data.from_pandas(df))
+
+    @property
+    def dataset(self) -> ray.data.Dataset:
+        return self._ds
+
+    def _chain(self, ds: ray.data.Dataset) -> "Pipeline":
+        p = Pipeline(ds)
+        p._batch_size = self._batch_size
+        p._concurrency = self._concurrency
+        return p
+
+    def _mb_kwargs(self) -> dict:
+        kw: dict[str, Any] = {}
+        if self._batch_size is not None:
+            kw["batch_size"] = self._batch_size
+        if self._concurrency is not None:
+            kw["concurrency"] = self._concurrency
+        return kw
+
+    # ------------------------------------------------------------- core operators
+    def canonicalize(self, rename: dict[str, str] | None = None) -> "Pipeline":
+        return self._chain(
+            self._ds.map_batches(
+                lambda t: canonicalize_columns(t, rename), batch_format="pyarrow", **self._mb_kwargs()
+            )
+        )
+
+    def filter(self, predicate) -> "Pipeline":
+        """Reference ``Filter``/``Where`` (``Pipeline.cs:25-37``); vectorized."""
+        return self._chain(
+            self._ds.map_batches(
+                core_ops.filter_batches(predicate), batch_format="pyarrow", **self._mb_kwargs()
+            )
+        )
+
+    where = filter
+
+    def map(self, fn: Callable[[pa.Table], pa.Table], batch_format: str = "pyarrow", **kw) -> "Pipeline":
+        """Reference ``Map``/``Select`` (``Pipeline.cs:39-51``) at batch level —
+        *fn* is table→table, may change shape/schema."""
+        return self._chain(self._ds.map_batches(fn, batch_format=batch_format, **{**self._mb_kwargs(), **kw}))
+
+    map_batches = map
+    select_batches = map
+
+    def select(self, columns: list[str]) -> "Pipeline":
+        return self._chain(self._ds.select_columns(columns))
+
+    select_columns = select
+
+    def select_many(self, fn: Callable[[dict], Iterable[dict]]) -> "Pipeline":
+        """Reference ``SelectMany`` (``Pipeline.cs:53-60``): 1 → N records.
+        Row-level — fine for control-sized data; use :meth:`explode` for the
+        vectorized batch-level flatten."""
+        return self._chain(self._ds.flat_map(fn))
+
+    flat_map = select_many
+
+    def explode(self, list_col: str) -> "Pipeline":
+        """Vectorized flatten of a list column: 1 row → len(list) rows."""
+        import pyarrow.compute as pc
+
+        def _explode(t: pa.Table) -> pa.Table:
+            lists = t.column(list_col)
+            if isinstance(lists, pa.ChunkedArray):
+                lists = lists.combine_chunks()
+            parents = pc.list_parent_indices(lists)
+            flat = pc.list_flatten(lists)
+            base = t.drop_columns([list_col]).take(parents)
+            return base.append_column(list_col, flat)
+
+        return self.map(_explode)
+
+    def take_n(self, n: int) -> "Pipeline":
+        """Reference ``Take`` (``Pipeline.cs:62-69``)."""
+        return self._chain(self._ds.limit(n))
+
+    limit = take_n
+
+    def skip(self, n: int, by: str | list[str] | None = None) -> "Pipeline":
+        """Reference ``Skip`` (``Pipeline.cs:71-78``). Ray blocks are unordered,
+        so a global skip needs an explicit order: when *by* is given we sort
+        first; otherwise current plan order is used. Triggers execution
+        (split_at_indices needs block counts)."""
+        ds = self._ds.sort(by) if by else self._ds
+        return self._chain(ds.split_at_indices([n])[1])
+
+    def distinct(self, cols: list[str] | None = None) -> "Pipeline":
+        """Reference ``Distinct()`` (``Pipeline.cs:80-84``)."""
+        return self._chain(dedup_ops.distinct_rows(self._ds, cols))
+
+    def remove_duplicates(self, key, order_by) -> "Pipeline":
+        """Reference ``RemoveDuplicates(keyColumn)`` (``PipeFlow.cs:218-232``),
+        first-wins under the explicit *order_by* key."""
+        return self._chain(dedup_ops.remove_duplicates(self._ds, key, order_by))
+
+    def order_by(self, key, descending: bool = False) -> "Pipeline":
+        """Reference ``OrderBy``/``OrderByDescending`` (``Pipeline.cs:86-102``):
+        global range-partitioned shuffle sort."""
+        return self._chain(self._ds.sort(key, descending=descending))
+
+    sort = order_by
+
+    # --------------------------------------------------------- column transforms
+    def add_column(self, name: str, selector) -> "Pipeline":
+        return self._chain(
+            self._ds.map_batches(col_ops.add_column(name, selector), batch_format="pyarrow", **self._mb_kwargs())
+        )
+
+    def remove_column(self, *names: str) -> "Pipeline":
+        return self._chain(
+            self._ds.map_batches(col_ops.remove_columns(list(names)), batch_format="pyarrow", **self._mb_kwargs())
+        )
+
+    def rename_column(self, old: str, new: str) -> "Pipeline":
+        return self._chain(
+            self._ds.map_batches(col_ops.rename_column(old, new), batch_format="pyarrow", **self._mb_kwargs())
+        )
+
+    def fill_missing(self, column: str, default: Any) -> "Pipeline":
+        return self._chain(
+            self._ds.map_batches(col_ops.fill_missing(column, default), batch_format="pyarrow", **self._mb_kwargs())
+        )
+
+    def cast(self, casts: dict[str, pa.DataType], safe: bool = True) -> "Pipeline":
+        return self._chain(
+            self._ds.map_batches(col_ops.cast_columns(casts, safe), batch_format="pyarrow", **self._mb_kwargs())
+        )
+
+    # ------------------------------------------------------------------- tuning
+    def batch(self, batch_size: int) -> "Pipeline":
+        """Reference ``Batch(batchSize)`` micro-batching (``PipeFlow.cs:206-216``):
+        here it just sets the batch size for subsequent vectorized stages."""
+        p = self._chain(self._ds)
+        p._batch_size = batch_size
+        return p
+
+    def parallel(self, max_dop: int) -> "Pipeline":
+        """Reference ``Parallel(maxDOP)`` / ``AsParallel`` (``PipeFlow.cs:198-204``):
+        Ray parallelizes by default; this bounds per-stage concurrency."""
+        p = self._chain(self._ds)
+        p._concurrency = max_dop
+        return p
+
+    def repartition(self, n: int, shuffle: bool = False) -> "Pipeline":
+        return self._chain(self._ds.repartition(n, shuffle=shuffle))
+
+    # ------------------------------------------------------------------ grouping
+    def group_by(self, *keys: str) -> GroupedPipeline:
+        return GroupedPipeline(self, list(keys))
+
+    def union(self, other: "Pipeline") -> "Pipeline":
+        return self._chain(self._ds.union(other._ds))
+
+    # ------------------------------------------------------------------- actions
+    def execute(self, collect: bool = False) -> PipelineResult:
+        """Builder-API ``Execute()`` (``PipelineBuilder.cs:163-197``): run the
+        chain, return a result envelope. By default counts without
+        materializing rows to the driver (unlike the reference, which
+        ``ToList()``s everything); ``collect=True`` also returns the rows."""
+        t0 = time.perf_counter()
+        try:
+            if collect:
+                rows = self._ds.take_all()
+                return PipelineResult(True, rows, len(rows), time.perf_counter() - t0)
+            n = self._ds.count()
+            return PipelineResult(True, None, n, time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001 — result envelope captures failure
+            return PipelineResult(False, None, 0, time.perf_counter() - t0, [str(e)])
+
+    def to_list(self) -> list[dict]:
+        return self._ds.take_all()
+
+    def to_pandas(self, limit: int | None = None) -> pd.DataFrame:
+        return self._ds.to_pandas(limit=limit)
+
+    def to_arrow(self) -> pa.Table:
+        tables = [b for b in self._ds.iter_batches(batch_format="pyarrow", batch_size=None)]
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables, promote_options="permissive")
+
+    def first(self) -> dict | None:
+        rows = self._ds.take(1)
+        return rows[0] if rows else None
+
+    def count(self) -> int:
+        return self._ds.count()
+
+    def for_each_batch(self, fn, batch_format: str = "pyarrow", batch_size: int | None = None):
+        """Terminal side-effecting iteration (reference ``ForEach``,
+        ``Pipeline.cs:138-158``) — driver-side streaming consumption."""
+        for b in self._ds.iter_batches(batch_format=batch_format, batch_size=batch_size):
+            fn(b)
+
+    def stream(self, batch_size: int | None = None, batch_format: str = "pyarrow"):
+        """Builder-API ``Stream()`` (``PipelineBuilder.cs:199-213``): lazy iteration."""
+        return self._ds.iter_batches(batch_format=batch_format, batch_size=batch_size)
+
+    # -------------------------------------------------------------------- sinks
+    def to_parquet(self, path: str, **kw):
+        self._ds.write_parquet(path, **kw)
+
+    def to_csv(self, path: str, **kw):
+        self._ds.write_csv(path, **kw)
+
+    def to_json(self, path: str, **kw):
+        self._ds.write_json(path, **kw)

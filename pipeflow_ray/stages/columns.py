@@ -1,0 +1,86 @@
+"""Column-level transforms (reference ``PipelineExtensions``,
+``PipeFlow/PipeFlow.cs:234-313``): fill-missing, add/remove/rename column —
+all as vectorized Arrow batch functions."""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+
+def fill_missing(column: str, default: Any) -> Callable[[pa.Table], pa.Table]:
+    """Null (or absent) *column* → *default* (``PipeFlow.cs:234-250``).
+
+    Like the reference, a missing column is created filled with the default.
+    """
+
+    def _apply(t: pa.Table) -> pa.Table:
+        if column not in t.column_names:
+            arr = pa.array([default] * t.num_rows)
+            return t.append_column(column, arr)
+        i = t.column_names.index(column)
+        col = t.column(i)
+        filled = pc.fill_null(col, pa.scalar(default, type=col.type))
+        return t.set_column(i, column, filled)
+
+    return _apply
+
+
+def add_column(name: str, selector) -> Callable[[pa.Table], pa.Table]:
+    """Computed column (``PipeFlow.cs:252-268``). *selector* is a pyarrow
+    dataset expression (vectorized, preferred) or a callable ``table → array``.
+    Replaces an existing column of the same name (reference indexer-set
+    semantics)."""
+
+    def _apply(t: pa.Table) -> pa.Table:
+        if isinstance(selector, pads.Expression):
+            # bind the expression against this batch via an in-memory dataset scan
+            arr = pads.dataset(t).scanner(columns={name: selector}).to_table().column(0)
+        else:
+            arr = selector(t)
+            if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+                arr = pa.array(arr)
+        if name in t.column_names:
+            return t.set_column(t.column_names.index(name), name, arr)
+        return t.append_column(name, arr)
+
+    return _apply
+
+
+def remove_columns(names: list[str]) -> Callable[[pa.Table], pa.Table]:
+    """Drop columns; case-insensitive match like the reference
+    (``PipeFlow.cs:270-290``); absent names are a silent no-op (ditto)."""
+
+    lower = {n.lower() for n in names}
+
+    def _apply(t: pa.Table) -> pa.Table:
+        keep = [c for c in t.column_names if c.lower() not in lower]
+        return t.select(keep)
+
+    return _apply
+
+
+def rename_column(old: str, new: str) -> Callable[[pa.Table], pa.Table]:
+    """Rename preserving order, case-insensitive lookup (``PipeFlow.cs:292-313``)."""
+
+    def _apply(t: pa.Table) -> pa.Table:
+        names = [new if c.lower() == old.lower() else c for c in t.column_names]
+        return t.rename_columns(names)
+
+    return _apply
+
+
+def cast_columns(casts: dict[str, pa.DataType], safe: bool = True) -> Callable[[pa.Table], pa.Table]:
+    """Batch-level typed coercion — the engine analog of the reference's
+    per-cell ``GetValue<T>`` ``Convert.ChangeType`` (``PipeFlow/DataRow.cs:67-102``)."""
+
+    def _apply(t: pa.Table) -> pa.Table:
+        for col, typ in casts.items():
+            i = t.column_names.index(col)
+            t = t.set_column(i, col, pc.cast(t.column(i), typ, safe=safe))
+        return t
+
+    return _apply

@@ -1,0 +1,70 @@
+"""Exact deduplication as distributed shuffle operators.
+
+Reference semantics:
+- ``Distinct()`` — whole-record exact dedup (``PipeFlow/Pipeline.cs:80-84``).
+- ``RemoveDuplicates(keyColumn)`` — keyed dedup keeping the FIRST occurrence
+  in encounter order via a closure ``HashSet`` (``PipeFlow/PipeFlow.cs:218-232``).
+
+Ray blocks carry no encounter order, so "first" is defined by an explicit
+*order_by* sort key (default ``(conv_id, turn_idx)`` for transcripts) — this
+matches the reference's *sequential* semantics, which is also what its own
+tests assert (its PLINQ path is racy, ``Parallel/ParallelPipeline.cs:135-141``).
+
+Scale notes: both operators pre-shrink inside ``map_batches`` (per-batch
+combiner) before the all-to-all ``groupby`` so the shuffle moves only
+already-locally-unique rows; the shuffle key for whole-row dedup is a 64-bit
+content hash rather than the full (wide, text-heavy) row.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from pipeflow_ray.stages.core import (
+    content_hash_column,
+    first_rows_per_group,
+    local_distinct,
+)
+
+
+def distinct_rows(ds: ray.data.Dataset, cols: list[str] | None = None) -> ray.data.Dataset:
+    """Whole-record (or *cols*-projected) exact distinct.
+
+    local distinct (combiner) → hash column → shuffle on hash → per-group
+    exact dedup. Hash collisions are handled: within a group we dedup on the
+    actual column values, not the hash.
+    """
+    if cols:
+        ds = ds.select_columns(cols)
+
+    ds = ds.map_batches(local_distinct(), batch_format="pyarrow")
+
+    ds = ds.map_batches(lambda t: content_hash_column(t), batch_format="pyarrow")
+
+    def _group_distinct(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__h"])
+        return t.group_by(t.column_names, use_threads=False).aggregate([])
+
+    return ds.groupby("__h").map_groups(_group_distinct, batch_format="pyarrow")
+
+
+def remove_duplicates(
+    ds: ray.data.Dataset,
+    key: str | list[str],
+    order_by: str | list[str],
+) -> ray.data.Dataset:
+    """Keyed dedup, first-wins under *order_by* ordering.
+
+    Per-batch first-wins combiner → shuffle on key → per-group first-wins.
+    Deterministic regardless of block arrival order.
+    """
+    key_cols = [key] if isinstance(key, str) else list(key)
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+
+    def _local(t: pa.Table) -> pa.Table:
+        return first_rows_per_group(t, key_cols, order_cols)
+
+    ds = ds.map_batches(_local, batch_format="pyarrow")
+    return ds.groupby(key_cols).map_groups(_local, batch_format="pyarrow")

@@ -1,0 +1,156 @@
+"""Operator unit tests on the reference's golden fixtures
+(analog of ``PipeFlow.Tests/PipelineTests.cs:11-192`` and
+``ExtensionTests.cs:47-174``)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyarrow import dataset as pads
+
+from pipeflow_ray import Pipeline
+from pipeflow_ray.fixtures import employees_table, people_table, scores_table
+
+field = pads.field
+
+
+def _names(rows):
+    return [r["Name"] for r in rows]
+
+
+def test_filter_expression():
+    # PipelineTests.cs: Filter age > 25 keeps Bob, Charlie, Diana
+    out = Pipeline.from_arrow(people_table()).filter(field("Age") > 25).to_list()
+    assert sorted(_names(out)) == ["Bob", "Charlie", "Diana"]
+
+
+def test_filter_callable_mask():
+    out = (
+        Pipeline.from_arrow(people_table())
+        .filter(lambda t: pc.equal(t["City"], "London"))
+        .to_list()
+    )
+    assert sorted(_names(out)) == ["Bob", "Eve"]
+
+
+def test_map_projection():
+    out = (
+        Pipeline.from_arrow(people_table())
+        .map(lambda t: t.append_column("AgePlus", pc.add(t["Age"], 1)))
+        .select(["Name", "AgePlus"])
+        .to_list()
+    )
+    assert {r["Name"]: r["AgePlus"] for r in out}["Alice"] == 26
+
+
+def test_take_and_count():
+    p = Pipeline.from_arrow(people_table())
+    assert p.take_n(2).count() == 2
+    assert p.count() == 5
+
+
+def test_skip_with_order():
+    out = Pipeline.from_arrow(people_table()).skip(2, by="Age").to_list()
+    # ages sorted: 22,25,28,30,35 → skip 2 leaves 28,30,35
+    assert sorted(r["Age"] for r in out) == [28, 30, 35]
+
+
+def test_order_by_descending_golden():
+    # CsvTests.cs:169-197: filter Score>=85 → sort desc → Eve, Bob, Diana, Alice
+    out = (
+        Pipeline.from_arrow(scores_table())
+        .filter(field("Score") >= 85)
+        .order_by("Score", descending=True)
+        .to_list()
+    )
+    assert _names(out) == ["Eve", "Bob", "Diana", "Alice"]
+
+
+def test_distinct_whole_row():
+    t = pa.table({"a": [1, 1, 2, 2, 3], "b": ["x", "x", "y", "z", "x"]})
+    out = Pipeline.from_arrow(t).distinct().to_list()
+    assert len(out) == 4  # (1,x),(2,y),(2,z),(3,x)
+
+
+def test_remove_duplicates_first_wins():
+    # ExtensionTests.cs:47-60: dup Id=1 keeps the FIRST row ("John", not "John Duplicate")
+    # "first" anchored to an explicit order key: row position column
+    t = employees_table().append_column("pos", pa.array([0, 1, 2, 3], pa.int64()))
+    out = Pipeline.from_arrow(t).remove_duplicates("Id", order_by="pos").to_list()
+    assert len(out) == 3
+    by_id = {r["Id"]: r["Name"] for r in out}
+    assert by_id[1] == "John"
+
+
+def test_group_by_aggregate_goldens():
+    # ExtensionTests.cs:137-152: Engineering count=2, avg=78500.0, max=82000
+    out = (
+        Pipeline.from_arrow(employees_table())
+        .group_by("Department")
+        .aggregate(n="count", avg_salary=("mean", "Salary"), max_salary=("max", "Salary"))
+        .to_list()
+    )
+    eng = next(r for r in out if r["Department"] == "Engineering")
+    assert eng["n"] == 2
+    assert eng["avg_salary"] == 78500.0
+    assert eng["max_salary"] == 82000
+
+
+def test_group_by_map_groups():
+    import pandas as pd
+
+    def top_earner(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nlargest(1, "Salary")[["Department", "Name"]]
+
+    out = (
+        Pipeline.from_arrow(employees_table())
+        .group_by("Department")
+        .map_groups(top_earner, batch_format="pandas")
+        .to_list()
+    )
+    by_dept = {r["Department"]: r["Name"] for r in out}
+    assert by_dept["Engineering"] == "Jane"
+
+
+def test_column_ops():
+    out = (
+        Pipeline.from_arrow(people_table())
+        .add_column("IsAdult", field("Age") >= 25)
+        .rename_column("city", "Town")  # case-insensitive, PipeFlow.cs:292-313
+        .remove_column("Id")
+        .to_list()
+    )
+    assert set(out[0].keys()) == {"Name", "Age", "Town", "IsAdult"}
+    assert sum(r["IsAdult"] for r in out) == 4
+
+
+def test_fill_missing_existing_and_absent():
+    t = pa.table({"a": [1, None, 3]})
+    out = Pipeline.from_arrow(t).fill_missing("a", 0).fill_missing("b", "x").to_list()
+    assert [r["a"] for r in out] == [1, 0, 3]
+    assert all(r["b"] == "x" for r in out)
+
+
+def test_explode_list_column():
+    t = pa.table({"id": [1, 2], "xs": [[10, 11], [20]]})
+    out = Pipeline.from_arrow(t).explode("xs").to_list()
+    assert sorted((r["id"], r["xs"]) for r in out) == [(1, 10), (1, 11), (2, 20)]
+
+
+def test_union_and_first():
+    a = Pipeline.from_arrow(people_table())
+    b = Pipeline.from_arrow(people_table())
+    assert a.union(b).count() == 10
+    assert a.order_by("Age").first()["Name"] == "Eve"
+
+
+def test_execute_result_envelope():
+    res = Pipeline.from_arrow(people_table()).filter(field("Age") > 25).execute()
+    assert res.success and res.processed_count == 3 and res.execution_time_s > 0
+
+
+def test_cast_coercion():
+    # GetValue<T> coercion analog (DataRowTests.cs:60-71): "42" → int
+    t = pa.table({"s": ["42", "7", None]})
+    out = Pipeline.from_arrow(t).cast({"s": pa.int64()}).to_list()
+    assert [r["s"] for r in out] == [42, 7, None]
