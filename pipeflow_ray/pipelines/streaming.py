@@ -1,0 +1,180 @@
+"""Micro-batch streaming runtime: monotonic watermark, per-key session state
+in an actor pool, late-data side output, watermark-driven eviction.
+
+This is the part of the north rule the Dataset API genuinely cannot express —
+a shared mutable per-conversation state store advanced in arrival order — so
+it drops to raw Ray actors (SURVEY §2.10). Everything around it stays
+vectorized: per-micro-batch session *fragments* are computed with pandas
+(sorted cumulative-gap scan), and only the per-conversation fragment merge
+(#fragments ≪ #rows) touches Python objects.
+
+Partitioning: conversations are hash-bucketed across ``num_buckets`` actors —
+the same key discipline as the batch path (one key, ``conv_id``, everywhere).
+Arrival order: the driver replays the input log (parquet row groups) in file
+order; at 100 TB each log shard is replayed sequentially by its own driver
+task while buckets process in parallel — the per-shard sequential scan is the
+cost of arrival-order semantics, not a Ray limitation.
+
+Semantics contract (tested): with ``allowed_lateness`` ≥ max disorder, the
+finalized sessions equal the batch-mode :func:`~pipeflow_ray.stages.window.
+session_aggregate` on the same rows; late rows are never silently dropped —
+they land in the ``late`` side output (reference has no late-data concept;
+``drop_late=False`` default per SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+US = 1_000_000
+
+
+def _session_fragments(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    """Vectorized per-batch sessionization → one row per (conv, fragment)."""
+    df = df.sort_values(["conv_id", "ts_us"], kind="mergesort")
+    new_conv = df.conv_id.ne(df.conv_id.shift())
+    new_sess = new_conv | (df.ts_us.diff() > gap_us)
+    frag = new_sess.cumsum()
+    g = df.groupby(frag, sort=True)
+    return pd.DataFrame(
+        {
+            "conv_id": g.conv_id.first(),
+            "start_us": g.ts_us.min(),
+            "end_us": g.ts_us.max(),
+            "n_turns": g.size(),
+            "n_chars": g.n_chars.sum(),
+        }
+    ).reset_index(drop=True)
+
+
+@ray.remote
+class SessionBucketActor:
+    """Owns the open-session state for one hash bucket of conversations.
+
+    State: ``conv_id → open fragment (start, end, n_turns, n_chars)``.
+    Eviction: a session is finalized (emitted + state dropped) once the
+    watermark passes ``session_end + gap`` — bounding state to open sessions
+    only.
+    """
+
+    def __init__(self, gap_s: float):
+        self.gap_us = int(gap_s * US)
+        self.state: dict[str, list] = {}  # conv_id -> [start, end, n_turns, n_chars]
+
+    def process(self, frags: pd.DataFrame, watermark_us: int) -> pd.DataFrame:
+        done: list[list] = []
+        gap = self.gap_us
+        state = self.state
+        # merge batch fragments into open state, in ts order per conv
+        for conv, s, e, n, c in frags.itertuples(index=False, name=None):
+            cur = state.get(conv)
+            if cur is None:
+                state[conv] = [s, e, n, c]
+            elif s - cur[1] <= gap:  # continues the open session (possibly
+                # out-of-order within the lateness horizon → may extend backwards)
+                cur[0] = min(cur[0], s)
+                cur[1] = max(cur[1], e)
+                cur[2] += n
+                cur[3] += c
+            else:  # gap exceeded → previous session closes
+                done.append([conv, *cur])
+                state[conv] = [s, e, n, c]
+        # watermark eviction: open sessions that can no longer grow
+        for conv in [k for k, v in state.items() if v[1] + gap < watermark_us]:
+            done.append([conv, *state.pop(conv)])
+        return self._emit(done)
+
+    def flush(self) -> pd.DataFrame:
+        done = [[conv, *v] for conv, v in self.state.items()]
+        self.state.clear()
+        return self._emit(done)
+
+    def state_size(self) -> int:
+        return len(self.state)
+
+    @staticmethod
+    def _emit(done: list[list]) -> pd.DataFrame:
+        return pd.DataFrame(
+            done, columns=["conv_id", "start_us", "end_us", "n_turns", "n_chars"]
+        )
+
+
+class StreamingSessionRunner:
+    """Replays a transcript parquet log in arrival order through bucketed
+    session-state actors with a monotonic watermark."""
+
+    def __init__(self, gap_s: float = 1800.0, lateness_s: float = 3600.0, num_buckets: int = 8):
+        self.gap_s = gap_s
+        self.lateness_us = int(lateness_s * US)
+        self.num_buckets = num_buckets
+
+    def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
+        """→ (sessions: pd.DataFrame, late: pd.DataFrame, metrics: dict)."""
+        actors = [SessionBucketActor.remote(self.gap_s) for _ in range(self.num_buckets)]
+        watermark_us = -(1 << 62)
+        late_parts: list[pd.DataFrame] = []
+        out_parts: list[pd.DataFrame] = []
+        n_rows = 0
+        n_batches = 0
+
+        pf = pq.ParquetFile(parquet_path)
+        pending: list[ray.ObjectRef] = []
+        for rb in pf.iter_batches(batch_size=micro_batch_rows, columns=["conv_id", "text", "ts"]):
+            n_batches += 1
+            n_rows += rb.num_rows
+            df = pd.DataFrame(
+                {
+                    "conv_id": rb.column("conv_id").to_pandas(),
+                    "ts_us": rb.column("ts").cast(pa.int64()).to_pandas(),
+                    "n_chars": rb.column("text").combine_chunks().to_pandas().str.len()
+                    if isinstance(rb.column("text"), pa.ChunkedArray)
+                    else pd.Series(rb.column("text").to_pandas()).str.len(),
+                }
+            )
+            # late = behind the watermark at arrival → side output, not state
+            late_mask = df.ts_us < watermark_us
+            if late_mask.any():
+                late_parts.append(df[late_mask])
+                df = df[~late_mask]
+            # monotonic watermark advance
+            if len(df):
+                watermark_us = max(watermark_us, int(df.ts_us.max()) - self.lateness_us)
+            if not len(df):
+                continue
+            frags = _session_fragments(df, int(self.gap_s * US))
+            bucket = pd.util.hash_array(frags.conv_id.to_numpy(dtype=object)) % self.num_buckets
+            pending = []
+            for b in range(self.num_buckets):
+                sub = frags[bucket == b]
+                if len(sub):
+                    pending.append(actors[b].process.remote(sub, watermark_us))
+            # micro-batch barrier: state must be applied in arrival order
+            for part in ray.get(pending):
+                if len(part):
+                    out_parts.append(part)
+
+        for part in ray.get([a.flush.remote() for a in actors]):
+            if len(part):
+                out_parts.append(part)
+
+        sessions = (
+            pd.concat(out_parts, ignore_index=True)
+            if out_parts
+            else pd.DataFrame(columns=["conv_id", "start_us", "end_us", "n_turns", "n_chars"])
+        )
+        sessions["session_start"] = pd.to_datetime(sessions.start_us, unit="us")
+        sessions["session_end"] = pd.to_datetime(sessions.end_us, unit="us")
+        late = pd.concat(late_parts, ignore_index=True) if late_parts else pd.DataFrame(columns=df.columns if n_rows else [])
+        metrics = {
+            "rows": n_rows,
+            "micro_batches": n_batches,
+            "late_rows": int(len(late)),
+            "sessions": int(len(sessions)),
+            "final_watermark_us": int(watermark_us),
+        }
+        return sessions.drop(columns=["start_us", "end_us"]), late, metrics

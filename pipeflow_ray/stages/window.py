@@ -1,0 +1,236 @@
+"""Event-time windowing (north-rule extension; the reference has no event
+time, windows or watermarks — its "streaming" is lazy iteration in arrival
+order, ``PipeFlow/Builder/PipelineBuilder.cs:199-213``).
+
+Realization on Ray Data:
+- tumbling: stateless ``window_start`` column derivation in ``map_batches``
+  (vectorized int64 arithmetic), then a keyed groupby;
+- sliding: batch-level replication of each row into its ⌈width/slide⌉
+  windows (a vectorized explode, not a per-row flat_map), then the tumbling
+  path;
+- session: gap-based scan inside ``groupby(conv_id).map_groups`` — the sorted
+  cumulative-gap trick, vectorized per group.
+
+Aggregation uses a per-batch partial-aggregate combiner before the global
+shuffle (see :func:`partial_aggregate`) so a hot key contributes at most one
+row per (batch, key, window) to the all-to-all exchange — this is the skew
+story for decomposable aggregates; non-decomposable UDFs go through
+``map_groups`` and pay the shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+US = 1_000_000
+
+
+def _floor_ts(ts: "pa.ChunkedArray", width_us: int) -> pa.ChunkedArray:
+    """Floor timestamp[us] to a window boundary — pure int64 arithmetic."""
+    i = ts.cast(pa.int64())
+    floored = pc.multiply(pc.floor(pc.divide(i, width_us)).cast(pa.int64()), width_us)
+    return floored.cast(pa.timestamp("us"))
+
+
+def assign_tumbling(width_s: float, ts_col: str = "ts", out: str = "window_start"):
+    """Batch fn adding the tumbling window-start column."""
+    width_us = int(width_s * US)
+
+    def _apply(t: pa.Table) -> pa.Table:
+        return t.append_column(out, _floor_ts(t.column(ts_col), width_us))
+
+    return _apply
+
+
+def assign_sliding(width_s: float, slide_s: float, ts_col: str = "ts", out: str = "window_start"):
+    """Batch fn replicating each row into every sliding window containing it.
+
+    Vectorized: concatenates k = width/slide shifted copies of the batch and
+    filters validity masks; no per-row Python. Requires width % slide == 0.
+    """
+    width_us, slide_us = int(width_s * US), int(slide_s * US)
+    if width_us % slide_us != 0:
+        raise ValueError("sliding window width must be a multiple of slide")
+    k = width_us // slide_us
+
+    def _apply(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        base = (ts // slide_us) * slide_us  # latest window start containing ts
+        pieces = []
+        for i in range(k):
+            ws = base - i * slide_us
+            valid = ts < ws + width_us  # ws <= ts is true by construction
+            idx = np.nonzero(valid)[0]
+            piece = t.take(pa.array(idx)) if len(idx) < t.num_rows else t
+            pieces.append(
+                piece.append_column(out, pa.array(ws[valid], type=pa.int64()).cast(pa.timestamp("us")))
+            )
+        return pa.concat_tables(pieces)
+
+    return _apply
+
+
+def assign_sessions(
+    ds: ray.data.Dataset,
+    key: str = "conv_id",
+    gap_s: float = 1800.0,
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+) -> ray.data.Dataset:
+    """Assign gap-based session ids per *key*: rows sorted by event time within
+    the key; a new session starts when ``ts - prev_ts > gap``.
+
+    Shuffle: one ``groupby(key)`` — the scan inside each group is a vectorized
+    pandas cumulative sum. Emits ``session_id`` (0-based per key) plus
+    ``session_start``.
+    """
+    gap = pd.Timedelta(seconds=gap_s)
+
+    def _scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, *order_cols], kind="mergesort")
+        new_session = (g[ts_col].diff() > gap).fillna(False)
+        g["session_id"] = new_session.cumsum().astype(np.int32)
+        g["session_start"] = g.groupby("session_id")[ts_col].transform("min")
+        return g
+
+    return ds.groupby(key).map_groups(_scan, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Partial (combiner) aggregation — the scale path for groupby/windowed aggs.
+# ---------------------------------------------------------------------------
+
+_PARTIAL_KINDS = {"sum", "count", "min", "max", "mean"}
+
+
+def partial_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    specs: dict[str, tuple[str, str | None]],
+) -> ray.data.Dataset:
+    """Grouped aggregation with a per-batch combiner before the shuffle.
+
+    *specs*: ``{out_name: (kind, col)}`` with kind in sum/count/min/max/mean.
+    Each input batch is pre-reduced to ≤ one row per key (pyarrow hash
+    aggregation), so the groupby shuffle moves partial states, not rows —
+    hot keys cost one partial per batch instead of their full row count.
+    """
+    for kind, _ in specs.values():
+        if kind not in _PARTIAL_KINDS:
+            raise ValueError(f"non-decomposable aggregate {kind!r}; use map_groups")
+
+    # partial state columns needed: sums, counts, mins, maxs
+    partial_cols: list[tuple[str, str, str]] = []  # (state_name, src_col, arrow_agg)
+    for out, (kind, col) in specs.items():
+        if kind == "count":
+            partial_cols.append((f"__cnt_{out}", col or keys[0], "count"))
+        elif kind == "mean":
+            partial_cols.append((f"__sum_{out}", col, "sum"))
+            partial_cols.append((f"__cnt_{out}", col, "count"))
+        else:
+            partial_cols.append((f"__{kind}_{out}", col, kind))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        # several states may share one (src, agg) — aggregate each pair once
+        uniq = list(dict.fromkeys((src, agg) for (_, src, agg) in partial_cols))
+        out_t = t.group_by(keys, use_threads=False).aggregate(uniq)
+        cols = {k: out_t[k] for k in keys}
+        for state, src, agg in partial_cols:
+            cols[state] = out_t[f"{src}_{agg}"]  # pyarrow's "<col>_<agg>" naming
+        return pa.table(cols)
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    finals = []
+    seen = set()
+    for state, _, agg in partial_cols:
+        if state in seen:
+            continue
+        seen.add(state)
+        if agg in ("sum", "count"):
+            finals.append(Sum(state, alias_name=state))
+        elif agg == "min":
+            finals.append(Min(state, alias_name=state))
+        elif agg == "max":
+            finals.append(Max(state, alias_name=state))
+    merged = partial.groupby(keys).aggregate(*finals)
+
+    def _finalize(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        for out, (kind, col) in specs.items():
+            if kind == "count":
+                cols[out] = t[f"__cnt_{out}"]
+            elif kind == "mean":
+                cols[out] = pc.divide(t[f"__sum_{out}"], t[f"__cnt_{out}"])
+            else:
+                cols[out] = t[f"__{kind}_{out}"]
+        return pa.table(cols)
+
+    return merged.map_batches(_finalize, batch_format="pyarrow")
+
+
+def tumbling_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    width_s: float,
+    specs: dict[str, tuple[str, str | None]],
+    ts_col: str = "ts",
+) -> ray.data.Dataset:
+    """Tumbling-windowed aggregate: window column + partial-aggregate shuffle."""
+    ds = ds.map_batches(assign_tumbling(width_s, ts_col), batch_format="pyarrow")
+    return partial_aggregate(ds, keys + ["window_start"], specs)
+
+
+def sliding_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    width_s: float,
+    slide_s: float,
+    specs: dict[str, tuple[str, str | None]],
+    ts_col: str = "ts",
+) -> ray.data.Dataset:
+    ds = ds.map_batches(assign_sliding(width_s, slide_s, ts_col), batch_format="pyarrow")
+    return partial_aggregate(ds, keys + ["window_start"], specs)
+
+
+def session_aggregate(
+    ds: ray.data.Dataset,
+    key: str,
+    gap_s: float,
+    specs: dict[str, tuple[str, str | None]],
+    ts_col: str = "ts",
+) -> ray.data.Dataset:
+    """Session-windowed aggregate: one groupby(key) shuffle; the session scan
+    and the in-session aggregation both happen inside the group."""
+    kinds = {
+        "sum": "sum", "count": "count", "min": "min", "max": "max", "mean": "mean",
+    }
+    for kind, _ in specs.values():
+        if kind not in kinds:
+            raise ValueError(f"unsupported session aggregate {kind!r}")
+    gap = pd.Timedelta(seconds=gap_s)
+
+    def _scan_and_agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        sid = (g[ts_col].diff() > gap).fillna(False).cumsum()
+        gb = g.groupby(sid)
+        out = pd.DataFrame({key: gb[key].first()})
+        out["session_id"] = out.index.astype(np.int32)
+        out["session_start"] = gb[ts_col].min()
+        out["session_end"] = gb[ts_col].max()
+        for name, (kind, col) in specs.items():
+            if kind == "count":
+                out[name] = gb.size()
+            else:
+                out[name] = getattr(gb[col], kinds[kind])()
+        return out.reset_index(drop=True)
+
+    return ds.groupby(key).map_groups(_scan_and_agg, batch_format="pandas")

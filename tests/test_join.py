@@ -1,0 +1,77 @@
+"""Join tests: flagship turn-response join vs a pandas oracle; broadcast join;
+large-large hash join (SURVEY §2.7)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from pipeflow_ray.fixtures import gen_transcripts
+from pipeflow_ray.stages.join import broadcast_join, hash_join, turn_response_join
+
+
+def _oracle_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    nxt = df.groupby("conv_id").shift(-1)
+    take = (
+        (df.role == "user")
+        & nxt.role.isin(["assistant", "tool"])
+        & (nxt.turn_idx == df.turn_idx + 1)
+    )
+    out = pd.DataFrame(
+        {
+            "conv_id": df.loc[take, "conv_id"],
+            "turn_idx": df.loc[take, "turn_idx"],
+            "user_text": df.loc[take, "text"],
+            "response_text": nxt.loc[take, "text"],
+            "response_role": nxt.loc[take, "role"],
+        }
+    )
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def test_turn_response_join_matches_oracle(transcripts_table):
+    ds = ray.data.from_arrow(transcripts_table)
+    got = (
+        turn_response_join(ds)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    ref = _oracle_pairs(transcripts_table.to_pandas())
+    assert len(got) == len(ref) > 0
+    # per-turn text equality under stable (conv_id, turn_idx) ordering — the
+    # BASELINE.json invariant
+    pd.testing.assert_series_equal(got.user_text, ref.user_text, check_dtype=False)
+    pd.testing.assert_series_equal(got.response_text, ref.response_text, check_dtype=False)
+    assert (got.latency_s > 0).all()
+
+
+def test_turn_response_join_hot_key_correct():
+    # the generator's conv_00000000 is the hot conversation; its pairs must
+    # be complete despite skew
+    t = gen_transcripts(3000)
+    got = turn_response_join(ray.data.from_arrow(t)).to_pandas()
+    ref = _oracle_pairs(t.to_pandas())
+    hot_got = got[got.conv_id == "conv_00000000"]
+    hot_ref = ref[ref.conv_id == "conv_00000000"]
+    assert len(hot_got) == len(hot_ref) > 100
+
+
+def test_broadcast_join():
+    big = ray.data.from_items([{"k": i % 3, "v": i} for i in range(100)])
+    dim = pd.DataFrame({"k": [0, 1, 2], "name": ["x", "y", "z"]})
+    out = broadcast_join(big, dim, on="k").to_pandas()
+    assert len(out) == 100
+    assert set(out.name) == {"x", "y", "z"}
+    assert (out.name == out.k.map({0: "x", 1: "y", 2: "z"})).all()
+
+
+def test_hash_join_large_sides():
+    left = ray.data.from_items([{"k": i, "l": i * 2} for i in range(500)])
+    right = ray.data.from_items([{"k": i, "r": i * 3} for i in range(250, 750)])
+    out = hash_join(left, right, on="k", num_partitions=4).to_pandas()
+    assert len(out) == 250
+    assert (out.r == out.k * 3).all() and (out.l == out.k * 2).all()

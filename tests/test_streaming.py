@@ -1,0 +1,127 @@
+"""Micro-batch streaming runtime tests: batch/stream equivalence, watermark
+monotonicity, late routing, state eviction, flagship end-to-end."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from pipeflow_ray.pipelines.flagship import flagship_pipeline, normalize, session_stats
+from pipeflow_ray.pipelines.streaming import SessionBucketActor, StreamingSessionRunner
+
+
+def _batch_oracle_sessions(path: str, gap_s: float) -> pd.DataFrame:
+    """Pandas oracle: sessionize ALL rows by event time (ignores arrival)."""
+    df = pq.read_table(path, columns=["conv_id", "text", "ts"]).to_pandas()
+    df["n_chars"] = df.text.fillna("").str.len()
+    df = df.sort_values(["conv_id", "ts"], kind="mergesort")
+    new = df.conv_id.ne(df.conv_id.shift()) | (
+        df.ts.diff() > pd.Timedelta(seconds=gap_s)
+    )
+    frag = new.cumsum()
+    g = df.groupby(frag)
+    out = pd.DataFrame(
+        {
+            "conv_id": g.conv_id.first(),
+            "session_start": g.ts.min(),
+            "session_end": g.ts.max(),
+            "n_turns": g.size(),
+            "n_chars": g.n_chars.sum(),
+        }
+    ).reset_index(drop=True)
+    return out.sort_values(["conv_id", "session_start"]).reset_index(drop=True)
+
+
+def test_streaming_equals_batch_with_generous_lateness(transcripts_path):
+    """With lateness ≥ max disorder (2h injected), nothing is late and the
+    streaming result must equal the batch oracle exactly."""
+    runner = StreamingSessionRunner(gap_s=1800.0, lateness_s=3 * 3600.0, num_buckets=4)
+    sessions, late, metrics = runner.run(transcripts_path, micro_batch_rows=128)
+    assert metrics["late_rows"] == 0 and len(late) == 0
+
+    got = (
+        sessions[["conv_id", "session_start", "session_end", "n_turns", "n_chars"]]
+        .sort_values(["conv_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    ref = _batch_oracle_sessions(transcripts_path, 1800.0)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_streaming_routes_late_rows(transcripts_path):
+    """With lateness < injected disorder (2h), the displaced rows must land in
+    the late side output — never silently dropped."""
+    runner = StreamingSessionRunner(gap_s=1800.0, lateness_s=60.0, num_buckets=4)
+    sessions, late, metrics = runner.run(transcripts_path, micro_batch_rows=128)
+    assert metrics["late_rows"] > 0
+    assert metrics["late_rows"] + sessions.n_turns.sum() == metrics["rows"]
+
+
+def test_watermark_eviction_bounds_state(transcripts_path):
+    """After the run (pre-flush eviction happened per batch), open state must
+    be far smaller than total conversations — sessions close as the watermark
+    passes them."""
+    runner = StreamingSessionRunner(gap_s=1800.0, lateness_s=600.0, num_buckets=2)
+    actors = [SessionBucketActor.remote(1800.0) for _ in range(2)]
+    # drive manually to inspect state before flush
+    import pyarrow as _pa
+
+    pf = pq.ParquetFile(transcripts_path)
+    wm = -(1 << 62)
+    from pipeflow_ray.pipelines.streaming import _session_fragments
+
+    for rb in pf.iter_batches(batch_size=256, columns=["conv_id", "text", "ts"]):
+        df = pd.DataFrame(
+            {
+                "conv_id": rb.column("conv_id").to_pandas(),
+                "ts_us": rb.column("ts").cast(_pa.int64()).to_pandas(),
+                "n_chars": pd.Series(rb.column("text").to_pandas()).fillna("").str.len(),
+            }
+        )
+        df = df[df.ts_us >= wm]
+        if not len(df):
+            continue
+        wm = max(wm, int(df.ts_us.max()) - 600 * 1_000_000)
+        frags = _session_fragments(df, 1800 * 1_000_000)
+        b = pd.util.hash_array(frags.conv_id.to_numpy(dtype=object)) % 2
+        ray.get([actors[i].process.remote(frags[b == i], wm) for i in range(2) if (b == i).any()])
+    open_state = sum(ray.get([a.state_size.remote() for a in actors]))
+    total_convs = len(pq.read_table(transcripts_path, columns=["conv_id"]).column(0).unique())
+    assert open_state < total_convs * 0.5  # most conversations evicted before flush
+
+
+def test_flagship_end_to_end(transcripts_path, tmp_path):
+    out = str(tmp_path / "flagship")
+    windowed, stats = flagship_pipeline(transcripts_path, out_dir=out, num_partitions=8)
+    assert stats.rows.sum() > 0
+    from pipeflow_ray.state.manifest import read_committed
+
+    back = read_committed(out)
+    assert back.num_rows == stats.rows.sum()
+    assert set(back.column_names) >= {
+        "conv_id", "window_start", "n_pairs", "mean_latency_s", "user_chars", "resp_chars",
+    }
+    # re-run: fully skipped, identical rows
+    _, stats2 = flagship_pipeline(transcripts_path, out_dir=out, num_partitions=8)
+    assert stats2.skipped.all() and stats2.rows.sum() == stats.rows.sum()
+
+
+def test_session_stats_matches_oracle(transcripts_path):
+    got = (
+        session_stats(transcripts_path)
+        .to_pandas()
+        .sort_values(["conv_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    ref = _batch_oracle_sessions(transcripts_path, 1800.0)
+    # normalize() trims text → n_chars differs from raw oracle; compare counts/bounds
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "session_start", "session_end", "n_turns"]],
+        ref[["conv_id", "session_start", "session_end", "n_turns"]],
+        check_dtype=False,
+    )
