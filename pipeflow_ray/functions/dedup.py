@@ -1,0 +1,363 @@
+"""Near/exact deduplication for document corpora.
+
+- exact: normalize → 64-bit fingerprint → hash-partitioned first-wins
+  (the scalable form of "group by content, keep lowest id");
+- MinHash + LSH: shingle → minhash signature → banded bucket groupby →
+  candidate pairs → exact Jaccard verification (plausible-pair kill step);
+- SimHash: 64-bit signature, banded bucketing, Hamming-distance verify;
+- embedding cosine near-dup: random-hyperplane LSH bucketing + in-bucket
+  cosine verify.
+
+Scale shape: every stage is a ``map_batches`` (per-doc numpy inside a batch,
+no Python-per-shingle), the only all-to-all exchanges are the
+(band, band_hash) groupbys whose rows are tiny (ints), and verification
+touches candidate pairs only. Signatures are computed once per doc and reused
+across bands.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from pipeflow_ray.functions.text import fingerprint
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def exact_dedup(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Exact dedup on normalized content: keep the row with the smallest
+    *id_col* per fingerprint. Shuffle key = the 64-bit fingerprint (never the
+    text itself)."""
+    ds = ds.map_batches(fingerprint(text_col), batch_format="pyarrow")
+
+    def _local_first(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("fingerprint", "ascending"), (id_col, "ascending")])
+        t = t.take(idx)
+        fp = t["fingerprint"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(fp), dtype=bool)
+        keep[1:] = fp[1:] != fp[:-1]
+        return t.filter(pa.array(keep))
+
+    # per-batch combiner, then the keyed global pass
+    ds = ds.map_batches(_local_first, batch_format="pyarrow")
+    return ds.groupby("fingerprint").map_groups(_local_first, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# shingling + signatures (per-batch numpy; per-doc vectorized rolling hash)
+# ---------------------------------------------------------------------------
+
+def _char_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct k-char-shingle hashes of one doc — vectorized rolling
+    polynomial hash over the byte array (no Python loop over shingles)."""
+    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)), constant_values=32)
+    base = np.uint64(1_099_511_628_211)
+    powers = base ** np.arange(k, dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    return np.unique(windows @ powers)  # wraps mod 2^64
+
+
+class MinHasher:
+    """Per-batch MinHash signatures (num_perm universal hashes over shingle
+    hashes). Permutation coefficients are built once per actor."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 num_perm: int = 64, k: int = 5, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        self.text_col, self.id_col, self.k = text_col, id_col, k
+
+    def signature(self, text: str) -> np.ndarray:
+        s = _char_shingle_hashes(text, self.k)
+        # (num_perm, n_shingles) universal hash, min over shingles
+        v = (self.a[:, None] * s[None, :] + self.b[:, None]) % _MERSENNE
+        return v.min(axis=1)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col].to_pylist()
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        sigs = np.stack([self.signature(x or "") for x in texts])
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "sig": pa.array(list(sigs.astype(np.uint64))),
+            }
+        )
+
+
+def minhash_lsh_candidates(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> ray.data.Dataset:
+    """MinHash → banded LSH → candidate pairs ``(id_a, id_b)`` (id_a < id_b).
+
+    Emits (band, band_hash, id) rows — integers only — and groupbys on the
+    band bucket; each bucket yields its within-bucket pairs. Pairs are
+    deduped across bands by a final distinct.
+    """
+    rows_per_band = num_perm // bands
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_args=(text_col, id_col, num_perm, k),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def _bands(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sig = np.stack([np.asarray(s) for s in t["sig"].to_pylist()]).astype(np.uint64)
+        n = len(ids)
+        out_id, out_band, out_hash = [], [], []
+        for b in range(bands):
+            chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            h = chunk[:, 0].copy()
+            for j in range(1, rows_per_band):
+                h = h * np.uint64(1_000_003) + chunk[:, j]
+            out_id.append(ids)
+            out_band.append(np.full(n, b, dtype=np.int32))
+            out_hash.append(h.view(np.int64))
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id)),
+                "band": pa.array(np.concatenate(out_band), pa.int32()),
+                "band_hash": pa.array(np.concatenate(out_hash), pa.int64()),
+            }
+        )
+
+    banded = sigs.map_batches(_bands, batch_format="pyarrow")
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        ids = np.sort(t[id_col].to_numpy(zero_copy_only=False))
+        if len(ids) < 2 or len(ids) > 10_000:  # skew guard: degenerate bucket
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pa.table({"id_a": pa.array(ids[a]), "id_b": pa.array(ids[b])})
+
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(_pairs, batch_format="pyarrow")
+    # distinct across bands
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def verify_jaccard(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> ray.data.Dataset:
+    """Exact shingle-Jaccard verification of candidate pairs.
+
+    Candidate ids are a small fraction of the corpus: their texts are pulled
+    once, broadcast via ``ray.put``, and each verify task scores its pairs
+    locally. (At full scale this becomes a hash-join of pairs against docs —
+    the broadcast form is the small-candidate fast path.)
+    """
+    cand_ids = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(b["id_a"].to_pylist())
+        cand_ids.update(b["id_b"].to_pylist())
+    if not cand_ids:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
+    id_arr = pa.array(sorted(cand_ids), pa.int64())
+    texts = {}
+    filtered = docs.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=id_arr)), batch_format="pyarrow"
+    )
+    for b in filtered.iter_batches(batch_format="pyarrow"):
+        texts.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
+    ref = ray.put(texts)
+
+    class _Verify:
+        def __init__(self):
+            self.texts = ray.get(ref)
+            self.cache: dict[int, np.ndarray] = {}
+
+        def _sh(self, i: int) -> np.ndarray:
+            if i not in self.cache:
+                self.cache[i] = _char_shingle_hashes(self.texts.get(i) or "", k)
+            return self.cache[i]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ja = []
+            for a_, b_ in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()):
+                sa, sb = self._sh(a_), self._sh(b_)
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                ja.append(inter / max(1, len(sa) + len(sb) - inter))
+            out = t.append_column("jaccard", pa.array(ja, pa.float64()))
+            return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return pairs.map_batches(_Verify, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def minhash_dedup_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> ray.data.Dataset:
+    """Full near-dup pipeline: candidates → verified pairs above *threshold*."""
+    cands = minhash_lsh_candidates(ds, text_col, id_col, **kw)
+    return verify_jaccard(cands, ds, threshold, text_col, id_col, k=kw.get("k", 5))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    """64-bit SimHash over token hashes (weight = token frequency)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    @staticmethod
+    def _sim(tokens_hashes: np.ndarray) -> np.uint64:
+        if len(tokens_hashes) == 0:
+            return np.uint64(0)
+        bits = ((tokens_hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        return np.uint64(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sims = []
+        for text in t[self.text_col].to_pylist():
+            toks = (text or "").lower().split()
+            th = pd.util.hash_array(np.array(toks, dtype=object)) if toks else np.array([], np.uint64)
+            sims.append(self._sim(th))
+        out = pa.table(
+            {
+                self.id_col: t[self.id_col],
+                "simhash": pa.array(np.array(sims, np.uint64).view(np.int64), pa.int64()),
+            }
+        )
+        return out
+
+
+def simhash_dup_pairs(
+    ds: ray.data.Dataset,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """SimHash near-dup: 4×16-bit band bucketing (any pair within Hamming
+    distance ≤ 4 shares at least one exact band) + in-bucket Hamming verify."""
+    sigs = ds.map_batches(
+        SimHasher, fn_constructor_args=(text_col, id_col), batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+    def _bands(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sh = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        parts = []
+        for b in range(4):
+            band_val = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        id_col: pa.array(ids),
+                        "simhash": pa.array(sh.view(np.int64)),
+                        "band": pa.array(np.full(len(ids), b, np.int32)),
+                        "band_val": pa.array(band_val),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    banded = sigs.map_batches(_bands, batch_format="pyarrow")
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
+        t = t.take(order)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sh = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        _, first = np.unique(ids, return_index=True)
+        ids, sh = ids[first], sh[first]
+        if len(ids) < 2 or len(ids) > 10_000:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        a, b = np.triu_indices(len(ids), k=1)
+        x = sh[a] ^ sh[b]
+        ham = np.zeros(len(x), dtype=np.int64)
+        while x.any():
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = ham <= max_hamming
+        return pa.table({"id_a": pa.array(ids[a][keep]), "id_b": pa.array(ids[b][keep]),
+                         "hamming": pa.array(ham[keep])})
+
+    pairs = banded.groupby(["band", "band_val"]).map_groups(_pairs, batch_format="pyarrow")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 12,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Near-duplicate vectors by cosine ≥ threshold: random-hyperplane LSH
+    bucket (cheap, broadcast planes) → exact in-bucket cosine verify."""
+    import pyarrow.compute as _pc
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        dim = vecs.shape[1]
+        planes = np.random.default_rng(seed).standard_normal((dim, num_planes))
+        sig = (vecs @ planes > 0).astype(np.uint32)
+        bucket = (sig << np.arange(num_planes, dtype=np.uint32)).sum(axis=1).astype(np.int64)
+        norms = np.linalg.norm(vecs, axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                vec_col: t[vec_col],
+                "norm": pa.array(norms),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    bucketed = ds.map_batches(_bucket, batch_format="pyarrow")
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        norms = t["norm"].to_numpy(zero_copy_only=False)
+        if len(ids) < 2 or len(ids) > 20_000:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sims = (vecs @ vecs.T) / np.outer(norms, norms).clip(min=1e-12)
+        a, b = np.triu_indices(len(ids), k=1)
+        keep = sims[a, b] >= threshold
+        out = pa.table({"id_a": pa.array(np.minimum(ids[a][keep], ids[b][keep])),
+                        "id_b": pa.array(np.maximum(ids[a][keep], ids[b][keep])),
+                        "cosine": pa.array(sims[a, b][keep])})
+        return out
+
+    return bucketed.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")

@@ -1,0 +1,164 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`brute_force_topk` — exact cosine top-k: the query matrix is
+  broadcast ONCE (``ray.put``); each batch does one numpy matmul and emits
+  only its local top-k per query; a final tiny groupby merges partials.
+  Cost: one pass over the corpus, no shuffle of vectors.
+- :func:`ivf_topk` — the scale path: train centroids on a sample (driver-side
+  mini k-means), assign each vector to its nearest centroid in a pass, then
+  search only the ``nprobe`` closest clusters per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.stack(col.to_pylist()).astype(np.float64)
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Exact cosine top-k for each row of *queries* (Q×D).
+
+    Output: (query_id, vec_id, cosine, rank), rank 1..k per query, ties broken
+    by vec_id ascending (deterministic).
+    """
+    qn = queries.astype(np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True).clip(min=1e-12)
+    qref = ray.put(qn)
+
+    class _Partial:
+        def __init__(self):
+            self.q = ray.get(qref)  # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vecs = _to_matrix(t[vec_col])
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True).clip(min=1e-12)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            sims = self.q @ vecs.T  # (Q, B)
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            qid = np.repeat(np.arange(len(self.q)), kk)
+            vid = ids[top.ravel()]
+            sc = np.take_along_axis(sims, top, axis=1).ravel()
+            return pa.table(
+                {
+                    "query_id": pa.array(qid, pa.int64()),
+                    id_col: pa.array(vid),
+                    "cosine": pa.array(sc, pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(_Partial, batch_format="pyarrow", concurrency=(1, 8))
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(_merge, batch_format="pandas")
+
+
+def train_centroids(
+    ds: ray.data.Dataset,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Mini k-means on a driver-side sample (the classic IVF training step —
+    sample is small by construction; the full corpus never leaves the tasks)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    x = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(0)
+    return cent
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """IVF-style ANN: search only the *nprobe* nearest clusters per query.
+
+    Approximate: recall < 1 when a true neighbor lands in an unprobed
+    cluster — the standard IVF tradeoff; brute_force_topk is the oracle.
+    """
+    cent = train_centroids(ds, n_clusters, vec_col)
+    qn = queries.astype(np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True).clip(min=1e-12)
+    qd = ((qn[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    probed = np.argsort(qd, axis=1)[:, :nprobe]  # (Q, nprobe)
+    probe_sets = [set(row) for row in probed]
+    cref = ray.put((cent, qn, probe_sets))
+
+    class _Partial:
+        def __init__(self):
+            self.cent, self.q, self.probe_sets = ray.get(cref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vecs = _to_matrix(t[vec_col])
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            d = ((vecs[:, None, :] - self.cent[None, :, :]) ** 2).sum(-1)
+            cluster = d.argmin(1)
+            vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True).clip(min=1e-12)
+            sims = self.q @ vn.T
+            out_q, out_i, out_s = [], [], []
+            for qi, pset in enumerate(self.probe_sets):
+                mask = np.isin(cluster, list(pset))
+                if not mask.any():
+                    continue
+                s = sims[qi][mask]
+                vid = ids[mask]
+                kk = min(k, len(s))
+                top = np.argpartition(-s, kk - 1)[:kk]
+                out_q.append(np.full(kk, qi, np.int64))
+                out_i.append(vid[top])
+                out_s.append(s[top])
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q)),
+                    id_col: pa.array(np.concatenate(out_i)),
+                    "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(_Partial, batch_format="pyarrow", concurrency=(1, 8))
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(_merge, batch_format="pandas")

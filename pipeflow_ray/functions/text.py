@@ -1,0 +1,122 @@
+"""Text analysis stages for the ``documents`` table: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All are stateless vectorized Arrow-batch transforms (``pyarrow.compute``
+regex/string kernels + pandas hashing); the language-ID stage is a callable
+class so its per-language patterns compile once per actor, not per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# whitespace-delimited tokens
+_TOKEN_RE = r"\S+"
+# BPE-ish word/punct split (public GPT-2-style shape: words, numbers, punct runs)
+_BPE_RE = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+"
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "pour"],
+    "es": ["el", "la", "los", "que", "de", "es", "por", "con"],
+}
+
+
+def token_count(text_col: str = "text", out: str = "n_tokens"):
+    """Whitespace token count — one vectorized regex kernel per batch."""
+
+    def _apply(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(pc.fill_null(t[text_col], ""), _TOKEN_RE)
+        return t.append_column(out, n.cast(pa.int64()))
+
+    return _apply
+
+
+def bpe_token_estimate(text_col: str = "text", out: str = "n_bpe_tokens"):
+    """BPE-ish token estimate: count of word/number/punct fragments."""
+
+    def _apply(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(pc.fill_null(t[text_col], ""), _BPE_RE)
+        return t.append_column(out, n.cast(pa.int64()))
+
+    return _apply
+
+
+class QualityScore:
+    """Quality scoring: length score, alpha ratio, punctuation ratio, English
+    stopword ratio → composite ``quality`` in [0, 1]. Patterns are constants;
+    class form keeps the stage shape uniform with heavier scorers."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.stop_re = r"(?i)\b(?:" + "|".join(_STOPWORDS["en"]) + r")\b"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t[self.text_col], "")
+        n_chars = pc.utf8_length(text).cast(pa.float64())
+        safe_chars = pc.max_element_wise(n_chars, 1.0)
+        n_alpha = pc.count_substring_regex(text, r"[A-Za-z]").cast(pa.float64())
+        n_punct = pc.count_substring_regex(text, r"[^\w\s]").cast(pa.float64())
+        n_tok = pc.count_substring_regex(text, _TOKEN_RE).cast(pa.float64())
+        n_stop = pc.count_substring_regex(text, self.stop_re).cast(pa.float64())
+        alpha_ratio = pc.divide(n_alpha, safe_chars)
+        punct_ratio = pc.divide(n_punct, safe_chars)
+        stop_ratio = pc.divide(n_stop, pc.max_element_wise(n_tok, 1.0))
+        len_score = pc.min_element_wise(pc.divide(n_chars, 500.0), 1.0)
+        quality = pc.add(
+            pc.add(pc.multiply(alpha_ratio, 0.4), pc.multiply(len_score, 0.3)),
+            pc.add(
+                pc.multiply(pc.min_element_wise(pc.multiply(stop_ratio, 3.0), 1.0), 0.2),
+                pc.multiply(pc.subtract(1.0, pc.min_element_wise(pc.multiply(punct_ratio, 2.0), 1.0)), 0.1),
+            ),
+        )
+        # empty documents score 0, not the punct-free bonus
+        quality = pc.multiply(quality, pc.min_element_wise(n_chars, 1.0))
+        t = t.append_column("alpha_ratio", alpha_ratio)
+        t = t.append_column("stopword_ratio", stop_ratio)
+        return t.append_column("quality", quality)
+
+
+class LangId:
+    """N-gram/stopword-vote language ID over {en, de, fr, es} (+ 'und' for
+    undetermined). Regexes compile once per actor (``__init__``), each batch
+    is four vectorized count kernels + an argmax."""
+
+    def __init__(self, text_col: str = "text", out: str = "lang_pred"):
+        self.text_col = text_col
+        self.out = out
+        self.pats = {
+            lang: r"(?i)\b(?:" + "|".join(ws) + r")\b" for lang, ws in _STOPWORDS.items()
+        }
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t[self.text_col], "")
+        votes = np.stack(
+            [pc.count_substring_regex(text, p).to_numpy(zero_copy_only=False) for p in self.pats.values()]
+        )
+        langs = np.array(list(self.pats))
+        best = langs[votes.argmax(axis=0)]
+        best = np.where(votes.max(axis=0) == 0, "und", best)
+        return t.append_column(self.out, pa.array(best, pa.string()))
+
+
+def fingerprint(text_col: str = "text", out: str = "fingerprint", normalize: bool = True):
+    """64-bit document fingerprint over (optionally) normalized text —
+    lowercase + collapsed whitespace, then a vectorized 64-bit hash. The
+    normalized-content identity used by exact dedup."""
+
+    def _apply(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t[text_col], "")
+        if normalize:
+            text = pc.utf8_lower(text)
+            text = pc.replace_substring_regex(text, r"\s+", " ")
+            text = pc.utf8_trim_whitespace(text)
+        s = text.to_pandas()
+        h = pd.util.hash_array(s.to_numpy(dtype=object)).view(np.int64)
+        return t.append_column(out, pa.array(h, pa.int64()))
+
+    return _apply

@@ -1,0 +1,232 @@
+"""Validation rule library (reference ``PipeFlow/Validation/DataValidator.cs``,
+409 LoC of fluent per-column rules) re-expressed as vectorized Arrow mask
+kernels with the reference's four error strategies
+(``Validation/DataValidator.cs:404-410``): Throw / Skip / Log / Fix.
+
+Each rule = (column, batch→mask fn, message). ``apply_validation`` evaluates
+all masks per batch (one pass, no per-row Python) and either raises, drops
+invalid rows, or routes them to a side output; ``validate_with_results``
+appends ``is_valid`` + ``errors`` columns (analog of ``ValidateWithResults``,
+``PipeFlow/PipeFlow.cs:559-574``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+EMAIL_RE = r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"  # DataValidator.cs:151
+
+
+def _np(mask) -> np.ndarray:
+    if isinstance(mask, pa.ChunkedArray):
+        mask = mask.combine_chunks()
+    return np.asarray(mask.to_numpy(zero_copy_only=False), dtype=bool)
+
+
+class ColumnRules:
+    """Fluent rule chain for one column (``DataValidator.Column("x").Required()
+    .Email()...``, ``DataValidator.cs:17-120``)."""
+
+    def __init__(self, validator: "DataValidator", column: str):
+        self._v = validator
+        self.column = column
+
+    def _add(self, fn: Callable[[pa.Table], np.ndarray], message: str) -> "ColumnRules":
+        self._v._rules.append((self.column, fn, message))
+        return self
+
+    def _col(self, t: pa.Table):
+        if self.column not in t.column_names:
+            return None
+        return t[self.column]
+
+    def required(self) -> "ColumnRules":
+        """Present, non-null, non-whitespace (``DataValidator.cs:127-143``)."""
+
+        def _fn(t):
+            c = self._col(t)
+            if c is None:
+                return np.zeros(t.num_rows, dtype=bool)
+            valid = pc.is_valid(c)
+            if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+                nonblank = pc.not_equal(pc.utf8_trim_whitespace(pc.fill_null(c, "")), "")
+                valid = pc.and_(valid, nonblank)
+            return _np(valid)
+
+        return self._add(_fn, f"{self.column} is required")
+
+    def email(self) -> "ColumnRules":
+        return self.matches(EMAIL_RE, f"{self.column} is not a valid email")
+
+    def matches(self, pattern: str, message: str | None = None) -> "ColumnRules":
+        def _fn(t):
+            c = self._col(t)
+            if c is None:
+                return np.zeros(t.num_rows, dtype=bool)
+            return _np(pc.match_substring_regex(pc.fill_null(c.cast(pa.string()), ""), pattern))
+
+        return self._add(_fn, message or f"{self.column} does not match {pattern}")
+
+    def in_range(self, lo, hi) -> "ColumnRules":
+        """Numeric bounds; unparsable = invalid (``DataValidator.cs:201-235``)."""
+
+        def _fn(t):
+            c = self._col(t)
+            if c is None:
+                return np.zeros(t.num_rows, dtype=bool)
+            num = pc.cast(c, pa.float64(), safe=False) if not pa.types.is_floating(c.type) else c
+            ok = pc.and_(pc.greater_equal(num, lo), pc.less_equal(num, hi))
+            return _np(pc.fill_null(ok, False))
+
+        return self._add(_fn, f"{self.column} must be between {lo} and {hi}")
+
+    def min_length(self, n: int) -> "ColumnRules":
+        def _fn(t):
+            c = self._col(t)
+            if c is None:
+                return np.zeros(t.num_rows, dtype=bool)
+            return _np(pc.greater_equal(pc.utf8_length(pc.fill_null(c, "")), n))
+
+        return self._add(_fn, f"{self.column} shorter than {n}")
+
+    def max_length(self, n: int) -> "ColumnRules":
+        def _fn(t):
+            c = self._col(t)
+            if c is None:
+                return np.zeros(t.num_rows, dtype=bool)
+            return _np(pc.less_equal(pc.utf8_length(pc.fill_null(c, "")), n))
+
+        return self._add(_fn, f"{self.column} longer than {n}")
+
+    def is_in(self, values) -> "ColumnRules":
+        vals = pa.array(list(values))
+
+        def _fn(t):
+            c = self._col(t)
+            if c is None:
+                return np.zeros(t.num_rows, dtype=bool)
+            return _np(pc.is_in(c, value_set=vals))
+
+        return self._add(_fn, f"{self.column} not in allowed set")
+
+    def not_in(self, values) -> "ColumnRules":
+        vals = pa.array(list(values))
+
+        def _fn(t):
+            c = self._col(t)
+            if c is None:
+                return np.zeros(t.num_rows, dtype=bool)
+            return _np(pc.invert(pc.is_in(c, value_set=vals)))
+
+        return self._add(_fn, f"{self.column} in forbidden set")
+
+    def of_type(self, typ: pa.DataType) -> "ColumnRules":
+        """Value convertible to *typ* (``DataValidator.cs:373-402``):
+        safe-cast, null-on-fail check."""
+
+        def _fn(t):
+            c = self._col(t)
+            if c is None:
+                return np.zeros(t.num_rows, dtype=bool)
+            try:
+                casted = pc.cast(c, typ, safe=True)
+                return _np(pc.is_valid(casted))
+            except pa.ArrowInvalid:
+                # element-wise fallback: cast each chunk unsafely marking fails
+                ok = np.zeros(t.num_rows, dtype=bool)
+                vals = c.to_pylist()
+                for i, v in enumerate(vals):
+                    try:
+                        pa.scalar(v).cast(typ)
+                        ok[i] = v is not None
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                        ok[i] = False
+                return ok
+
+        return self._add(_fn, f"{self.column} not convertible to {typ}")
+
+    def custom(self, fn: Callable[[pa.Table], "np.ndarray"], message: str) -> "ColumnRules":
+        """Arbitrary vectorized predicate (``DataValidator.cs:293-317``)."""
+        return self._add(lambda t: _np(pa.array(fn(t))), message)
+
+    def column(self, name: str) -> "ColumnRules":
+        return self._v.column(name)
+
+
+class DataValidator:
+    def __init__(self):
+        self._rules: list[tuple[str, Callable, str]] = []
+
+    def column(self, name: str) -> ColumnRules:
+        return ColumnRules(self, name)
+
+    def masks(self, t: pa.Table) -> tuple[np.ndarray, list[np.ndarray]]:
+        per_rule = [fn(t) for (_, fn, _) in self._rules]
+        all_ok = np.logical_and.reduce(per_rule) if per_rule else np.ones(t.num_rows, bool)
+        return all_ok, per_rule
+
+
+def apply_validation(
+    ds: ray.data.Dataset,
+    validator: DataValidator,
+    strategy: str = "skip",
+) -> ray.data.Dataset | tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Strategies (``DataValidator.cs:404-410``): 'throw' raises on first
+    invalid batch; 'skip'/'log'/'fix' keep valid rows, with 'route' returning
+    (valid, invalid) datasets — the error-routing form."""
+
+    if strategy == "throw":
+
+        def _check(t: pa.Table) -> pa.Table:
+            ok, per_rule = validator.masks(t)
+            if not ok.all():
+                bad = int((~ok).sum())
+                first_rule = next(
+                    msg for (_, _, msg), m in zip(validator._rules, per_rule) if not m.all()
+                )
+                raise ValueError(f"validation failed for {bad} rows: {first_rule}")
+            return t
+
+        return ds.map_batches(_check, batch_format="pyarrow")
+
+    if strategy in ("skip", "log", "fix"):
+
+        def _keep(t: pa.Table) -> pa.Table:
+            ok, _ = validator.masks(t)
+            return t.filter(pa.array(ok))
+
+        return ds.map_batches(_keep, batch_format="pyarrow")
+
+    if strategy == "route":
+        valid = ds.map_batches(
+            lambda t: t.filter(pa.array(validator.masks(t)[0])), batch_format="pyarrow"
+        )
+        invalid = ds.map_batches(
+            lambda t: t.filter(pa.array(~validator.masks(t)[0])), batch_format="pyarrow"
+        )
+        return valid, invalid
+
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def validate_with_results(ds: ray.data.Dataset, validator: DataValidator) -> ray.data.Dataset:
+    """Append ``is_valid:bool`` and ``errors:list<string>`` per row
+    (``PipeFlow.cs:559-574`` / ``ValidationResult.cs:7-53``)."""
+
+    def _annotate(t: pa.Table) -> pa.Table:
+        ok, per_rule = validator.masks(t)
+        msgs = [msg for (_, _, msg) in validator._rules]
+        errors: list[list[str]] = [[] for _ in range(t.num_rows)]
+        for m, msg in zip(per_rule, msgs):
+            for i in np.nonzero(~m)[0]:
+                errors[i].append(msg)
+        t = t.append_column("is_valid", pa.array(ok))
+        return t.append_column("errors", pa.array(errors, pa.list_(pa.string())))
+
+    return ds.map_batches(_annotate, batch_format="pyarrow")

@@ -1,0 +1,161 @@
+"""Tests for training-data ops: text analysis, dedup suite, similarity
+search, multimodal plumbing — each against an in-process oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from pipeflow_ray.functions import text as T
+from pipeflow_ray.functions.dedup import (
+    exact_dedup,
+    embedding_neardup_pairs,
+    minhash_dedup_pairs,
+    simhash_dup_pairs,
+)
+from pipeflow_ray.functions.multimodal import DecodeImages, decode_images, synth_image_table
+from pipeflow_ray.functions.similarity import brute_force_topk, ivf_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_token_count_and_bpe():
+    t = pa.table({"text": ["hello world", "  a  b\tc ", "", None, "x,y.z"]})
+    out = ray.data.from_arrow(t).map_batches(T.token_count(), batch_format="pyarrow").to_pandas()
+    assert list(out.n_tokens) == [2, 3, 0, 0, 1]
+    out2 = ray.data.from_arrow(t).map_batches(T.bpe_token_estimate(), batch_format="pyarrow").to_pandas()
+    assert out2.n_bpe_tokens[4] == 5  # x , y . z
+
+
+def test_lang_id_heuristic():
+    t = pa.table(
+        {
+            "text": [
+                "the cat and the dog sat in the garden of the house",
+                "der Hund ist nicht mit der Katze und das ist gut",
+                "le chat est dans la maison et les jardins pour toujours",
+                "zzz qqq www",
+            ]
+        }
+    )
+    out = ray.data.from_arrow(t).map_batches(T.LangId(), batch_format="pyarrow", concurrency=1).to_pandas()
+    assert list(out.lang_pred) == ["en", "de", "fr", "und"]
+
+
+def test_quality_score_ranges():
+    t = pa.table({"text": ["The quick brown fox jumps over the lazy dog and runs away into the woods.", "!!!???...,,,", ""]})
+    out = ray.data.from_arrow(t).map_batches(T.QualityScore(), batch_format="pyarrow").to_pandas()
+    assert (out.quality >= 0).all() and (out.quality <= 1).all()
+    assert out.quality[0] > out.quality[1] > out.quality[2]
+
+
+def test_fingerprint_normalization():
+    t = pa.table({"text": ["Hello  World", "hello world", "different text"]})
+    out = ray.data.from_arrow(t).map_batches(T.fingerprint(), batch_format="pyarrow").to_pandas()
+    assert out.fingerprint[0] == out.fingerprint[1] != out.fingerprint[2]
+
+
+def test_exact_dedup_on_documents():
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    deduped = exact_dedup(docs).to_pandas()
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    norm = df.text.fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    ref = df.assign(_n=norm).sort_values("doc_id").groupby("_n", sort=False).first()
+    assert len(deduped) == len(ref)
+    assert set(deduped.doc_id) == set(ref.doc_id)
+
+
+def _editted_corpus() -> pa.Table:
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain in spain "
+        "falls mainly on the plain and every good boy deserves fudge today"
+    )
+    docs = [
+        base,
+        base.replace("lazy", "sleepy"),  # near-dup of 0
+        "completely different content about ray data streaming engines and arrow batches",
+        base[: len(base) // 2] + " totally new second half of this document here now",
+        "another unrelated document discussing minhash signatures and lsh banding theory",
+    ]
+    return pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()), "text": docs})
+
+
+def test_minhash_finds_near_dups():
+    ds = ray.data.from_arrow(_editted_corpus())
+    pairs = minhash_dedup_pairs(ds, threshold=0.6).to_pandas()
+    assert (0, 1) in set(zip(pairs.id_a, pairs.id_b))
+    assert all(j >= 0.6 for j in pairs.jaccard)
+    # unrelated docs must not pair
+    assert (2, 4) not in set(zip(pairs.id_a, pairs.id_b))
+
+
+def test_simhash_finds_near_dups():
+    ds = ray.data.from_arrow(_editted_corpus())
+    pairs = simhash_dup_pairs(ds, max_hamming=6).to_pandas()
+    assert (0, 1) in set(zip(pairs.id_a, pairs.id_b))
+    assert (2, 4) not in set(zip(pairs.id_a, pairs.id_b))
+
+
+def test_embedding_neardup():
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 16))
+    vecs[7] = vecs[3] + rng.standard_normal(16) * 0.01  # near-dup pair (3, 7)
+    t = pa.table(
+        {"vec_id": pa.array(range(50), pa.int64()), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    pairs = embedding_neardup_pairs(ray.data.from_arrow(t), threshold=0.98).to_pandas()
+    assert (3, 7) in set(zip(pairs.id_a, pairs.id_b))
+
+
+def test_brute_force_topk_matches_numpy():
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    queries = mat[:3]
+    got = brute_force_topk(ray.data.read_parquet(f"{SF}/embeddings.parquet"), queries, k=5).to_pandas()
+
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    vn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = qn @ vn.T
+    for q in range(3):
+        order = np.lexsort((emb.vec_id.to_numpy(), -sims[q]))[:5]
+        expect = list(emb.vec_id.to_numpy()[order])
+        mine = list(got[got.query_id == q].sort_values("rank").vec_id)
+        assert mine == expect
+
+
+def test_ivf_topk_recall():
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    queries = mat[10:13]
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    exact = brute_force_topk(ds, queries, k=10).to_pandas()
+    approx = ivf_topk(ds, queries, k=10, n_clusters=8, nprobe=3).to_pandas()
+    recalls = []
+    for q in range(3):
+        e = set(exact[exact.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # IVF tradeoff, sanity bound
+
+
+def test_multimodal_decode_pipeline():
+    t = synth_image_table(100)
+    out = decode_images(ray.data.from_arrow(t), batch_size=16).to_pandas()
+    assert len(out) == 100
+    assert set(out.columns) == {"image_id", "format", "width", "height", "mean_intensity"}
+    # oracle: recompute mean of one payload directly
+    one = DecodeImages()( t.slice(0, 1)).to_pandas()
+    body = np.frombuffer(t["payload"][0].as_py(), dtype=np.uint8, offset=16)
+    assert abs(one.mean_intensity[0] - body.mean()) < 1e-9
+    assert out.width.between(16, 128).all()
+
+
+def test_multimodal_unknown_format_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown image format"):
+        DecodeImages()(pa.table({"payload": [b"JUNKDATA" * 4]}))
