@@ -1,44 +1,47 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY §2 (plus the training-data ops); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible query (same column names, see
+``pipeflow_ray/pipelines/queries.py`` for the cross-engine float discipline).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = "/root/repo"
+if _REPO not in sys.path:  # driver may import this module from anywhere
+    sys.path.insert(0, _REPO)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: read transcripts →
+    normalize → stateful turn-response join → tumbling window aggregate."""
+    from pipeflow_ray.fixtures import ensure_transcripts
+    from pipeflow_ray.pipelines.flagship import flagship_pipeline
+
+    path = ensure_transcripts("/root/testdata/sf0.001")
+    return flagship_pipeline(path)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pipeflow_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # the transcript oracles read the deterministic fixture parquet — make
+    # sure it exists before the driver runs the SQL side
+    from pipeflow_ray.fixtures import ensure_transcripts
+    from pipeflow_ray.pipelines.queries import ORACLES
+
+    ensure_transcripts("/root/testdata/sf0.01")
+    return dict(ORACLES)

@@ -216,7 +216,7 @@ class Pipeline:
         first-wins under the explicit *order_by* key."""
         return self._chain(dedup_ops.remove_duplicates(self._ds, key, order_by))
 
-    def order_by(self, key, descending: bool = False) -> "Pipeline":
+    def order_by(self, key, descending: "bool | list[bool]" = False) -> "Pipeline":
         """Reference ``OrderBy``/``OrderByDescending`` (``Pipeline.cs:86-102``):
         global range-partitioned shuffle sort."""
         return self._chain(self._ds.sort(key, descending=descending))

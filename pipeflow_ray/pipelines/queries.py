@@ -1,0 +1,770 @@
+"""Query registry: one entry per implemented operator/pipeline (SURVEY §2),
+each with a Ray-Data implementation and (where SQL-expressible) a DuckDB
+oracle over the same parquet tables.
+
+Cross-engine float discipline: aggregates avoid cross-engine floating-point
+summation differences by integer-izing per row BEFORE accumulating —
+``floor(x * scale)`` on identical IEEE doubles is bit-deterministic in both
+engines, and integer sums are exact in any order. Derived ratios are a single
+float division of exact integers (identical in both engines). Window starts
+are int64 epoch seconds/micros, never engine-local timestamps.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from pipeflow_ray.fixtures import ensure_transcripts
+from pipeflow_ray.pipeline import Pipeline
+from pipeflow_ray.stages.join import broadcast_join, hash_join, turn_response_join
+from pipeflow_ray.stages.validate import DataValidator, apply_validation
+from pipeflow_ray.stages.watermark import compute_watermark
+from pipeflow_ray.stages.window import (
+    assign_sliding,
+    partial_aggregate,
+    session_aggregate,
+)
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+_TRIM = "' ' || chr(10) || chr(9) || chr(13)"  # match Arrow utf8_trim_whitespace on this corpus
+
+
+def q(name: str, sql: str | None = None):
+    def _reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return _reg
+
+
+def _floor_cents(col, scale=100):
+    return pc.floor(pc.multiply(col, float(scale))).cast(pa.int64())
+
+
+def _lineitem(sf_dir, cols):
+    return ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+
+# ---------------------------------------------------------------------------
+# core relational operators (reference §2.1/§2.3 parity)
+# ---------------------------------------------------------------------------
+
+@q(
+    "filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+              CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS revenue_cents
+       FROM lineitem
+       WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05""",
+)
+def filter_project(sf_dir):
+    def _tx(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.less(t["l_shipdate"], pa.scalar(_dt.datetime(1996, 1, 1))),
+            pc.greater(t["l_discount"], 0.05),
+        )
+        t = t.filter(mask)
+        rev = _floor_cents(pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])))
+        t = t.append_column("revenue_cents", rev)
+        return t.select(["l_orderkey", "l_linenumber", "l_quantity", "revenue_cents"])
+
+    return _lineitem(
+        sf_dir, ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(_tx, batch_format="pyarrow")
+
+
+@q(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+              CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+              CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_disc_cents,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def q1_pricing_summary(sf_dir):
+    ds = _lineitem(sf_dir, ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        t = t.append_column("qty_i", t["l_quantity"].cast(pa.int64()))
+        t = t.append_column("base_c", _floor_cents(t["l_extendedprice"]))
+        t = t.append_column(
+            "disc_c", _floor_cents(pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])))
+        )
+        return t.select(["l_returnflag", "l_linestatus", "qty_i", "base_c", "disc_c"])
+
+    ds = ds.map_batches(_cents, batch_format="pyarrow")
+    agg = partial_aggregate(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("sum", "qty_i"),
+            "sum_base_cents": ("sum", "base_c"),
+            "sum_disc_cents": ("sum", "disc_c"),
+            "n": ("count", None),
+        },
+    )
+
+    def _avg(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "avg_qty", pc.divide(t["sum_qty"].cast(pa.float64()), t["n"].cast(pa.float64()))
+        )
+
+    return agg.map_batches(_avg, batch_format="pyarrow")
+
+
+@q(
+    "topk_orders",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def topk_orders(sf_dir):
+    return (
+        Pipeline.from_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        .order_by(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .take_n(10)
+        .dataset
+    )
+
+
+@q("distinct_flags", "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")
+def distinct_flags(sf_dir):
+    return (
+        Pipeline.from_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus"])
+        .distinct()
+        .dataset
+    )
+
+
+@q(
+    "dedup_first_order",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+         FROM orders) WHERE rn = 1""",
+)
+def dedup_first_order(sf_dir):
+    return (
+        Pipeline.from_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+        .remove_duplicates("o_custkey", order_by="o_orderkey")
+        .dataset
+    )
+
+
+@q(
+    "skip_take",
+    """SELECT event_id, event_type, user_id FROM events
+       ORDER BY event_id LIMIT 50 OFFSET 100""",
+)
+def skip_take(sf_dir):
+    return (
+        Pipeline.from_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "user_id"])
+        .skip(100, by="event_id")
+        .take_n(50)
+        .dataset
+    )
+
+
+@q(
+    "add_remove_rename",
+    """SELECT p_partkey, p_name AS part_name,
+              CAST(floor(p_retailprice * 100) AS BIGINT) AS retail_cents
+       FROM part""",
+)
+def add_remove_rename(sf_dir):
+    return (
+        Pipeline.from_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"])
+        .add_column("retail_cents", lambda t: _floor_cents(t["p_retailprice"]))
+        .rename_column("p_name", "part_name")
+        .remove_column("p_retailprice")
+        .dataset
+    )
+
+
+@q(
+    "fill_missing_value",
+    """SELECT event_id, CASE WHEN value < 0.1 THEN 0.0 ELSE value END AS value_filled
+       FROM events""",
+)
+def fill_missing_value(sf_dir):
+    def _nullify(t: pa.Table) -> pa.Table:
+        v = pc.if_else(pc.less(t["value"], 0.1), pa.scalar(None, pa.float64()), t["value"])
+        return pa.table({"event_id": t["event_id"], "value_filled": v})
+
+    return (
+        Pipeline.from_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+        .map(_nullify)
+        .fill_missing("value_filled", 0.0)
+        .dataset
+    )
+
+
+@q(
+    "explode_embeddings",
+    """SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS emb_val
+       FROM embeddings WHERE vec_id < 50""",
+)
+def explode_embeddings(sf_dir):
+    def _cast(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": t["vec_id"], "emb_val": t["embedding"].cast(pa.float64())})
+
+    return (
+        Pipeline.from_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .filter(lambda t: pc.less(t["vec_id"], 50))
+        .explode("embedding")
+        .map(_cast)
+        .dataset
+    )
+
+
+@q(
+    "union_names",
+    """SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation""",
+)
+def union_names(sf_dir):
+    a = Pipeline.from_parquet(f"{sf_dir}/region.parquet", columns=["r_name"]).rename_column("r_name", "name")
+    b = Pipeline.from_parquet(f"{sf_dir}/nation.parquet", columns=["n_name"]).rename_column("n_name", "name")
+    return a.union(b).dataset
+
+
+# ---------------------------------------------------------------------------
+# joins + grouped aggregation (§2.7/§2.8)
+# ---------------------------------------------------------------------------
+
+@q(
+    "broadcast_join_brand_revenue",
+    """SELECT p.p_brand,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+                  AS revenue_cents
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       GROUP BY p.p_brand""",
+)
+def broadcast_join_brand_revenue(sf_dir):
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]).to_pandas()
+    part = part.rename(columns={"p_partkey": "l_partkey"})
+    li = _lineitem(sf_dir, ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rev_c", _floor_cents(pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])))
+        )
+
+    li = li.map_batches(_cents, batch_format="pyarrow")
+    joined = broadcast_join(li, part, on="l_partkey")
+    return partial_aggregate(joined, ["p_brand"], {"n": ("count", None), "revenue_cents": ("sum", "rev_c")})
+
+
+@q(
+    "hash_join_segment",
+    """SELECT c.c_mktsegment,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_mktsegment""",
+)
+def hash_join_segment(sf_dir):
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        return t.append_column("total_c", _floor_cents(t["o_totalprice"]))
+
+    orders = orders.map_batches(_cents, batch_format="pyarrow").map_batches(
+        lambda t: t.rename_columns(["c_custkey", "o_totalprice", "total_c"]), batch_format="pyarrow"
+    )
+    joined = hash_join(orders, cust, on="c_custkey", num_partitions=8)
+    return partial_aggregate(joined, ["c_mktsegment"], {"n_orders": ("count", None), "total_cents": ("sum", "total_c")})
+
+
+@q(
+    "group_top_order",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) WHERE rn = 1""",
+)
+def group_top_order(sf_dir):
+    def _top(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort").head(1)
+
+    return (
+        Pipeline.from_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+        .group_by("o_custkey")
+        .map_groups(_top, batch_format="pandas")
+        .dataset
+    )
+
+
+@q(
+    "validate_documents",
+    f"""SELECT doc_id, lang FROM documents
+        WHERE text IS NOT NULL AND trim(text, {_TRIM}) != ''
+          AND length(text) >= 20 AND lang IN ('en', 'de', 'fr')""",
+)
+def validate_documents(sf_dir):
+    v = DataValidator()
+    v.column("text").required().min_length(20)
+    v.column("lang").is_in(["en", "de", "fr"])
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    valid = apply_validation(docs, v, "skip")
+    return valid.select_columns(["doc_id", "lang"])
+
+
+# ---------------------------------------------------------------------------
+# event-time windows + watermark (§2.10) over the events stream table
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+@q(
+    "tumbling_events",
+    """SELECT event_type,
+              CAST(epoch_us(ts) // 3600000000 AS BIGINT) * 3600 AS window_start_s,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micro
+       FROM events GROUP BY event_type, window_start_s""",
+)
+def tumbling_events(sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        ws = pc.multiply(pc.divide(t["ts"].cast(pa.int64()), _HOUR_US), 3600)
+        vmu = _floor_cents(t["value"], 1_000_000)
+        return pa.table({"event_type": t["event_type"], "window_start_s": ws, "v_mu": vmu})
+
+    ds = ds.map_batches(_prep, batch_format="pyarrow")
+    return partial_aggregate(
+        ds, ["event_type", "window_start_s"], {"n": ("count", None), "sum_value_micro": ("sum", "v_mu")}
+    )
+
+
+@q(
+    "sliding_events",
+    """WITH b AS (SELECT event_type,
+                         CAST(epoch_us(ts) // 3600000000 AS BIGINT) * 3600 AS w
+                  FROM events),
+          x AS (SELECT event_type, w AS window_start_s FROM b
+                UNION ALL
+                SELECT event_type, w - 3600 AS window_start_s FROM b)
+       SELECT event_type, window_start_s, CAST(count(*) AS BIGINT) AS n
+       FROM x GROUP BY event_type, window_start_s""",
+)
+def sliding_events(sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    ds = ds.map_batches(assign_sliding(7200.0, 3600.0), batch_format="pyarrow")
+
+    def _to_s(t: pa.Table) -> pa.Table:
+        ws = pc.divide(t["window_start"].cast(pa.int64()), 1_000_000)
+        return pa.table({"event_type": t["event_type"], "window_start_s": ws})
+
+    ds = ds.map_batches(_to_s, batch_format="pyarrow")
+    return partial_aggregate(ds, ["event_type", "window_start_s"], {"n": ("count", None)})
+
+
+@q(
+    "session_events",
+    """WITH o AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+          m AS (SELECT user_id, tus,
+                       CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                                 > 1800000000 THEN 1 ELSE 0 END AS brk
+                FROM o),
+          s AS (SELECT user_id, tus,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m)
+       SELECT user_id, CAST(sid AS INT) AS session_id,
+              CAST(min(tus) AS BIGINT) AS start_us, CAST(max(tus) AS BIGINT) AS end_us,
+              CAST(count(*) AS BIGINT) AS n
+       FROM s GROUP BY user_id, sid""",
+)
+def session_events(sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    agg = session_aggregate(ds, "user_id", gap_s=1800.0, specs={"n": ("count", None)})
+
+    def _to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "session_id": t["session_id"],
+                "start_us": t["session_start"].cast(pa.int64()),
+                "end_us": t["session_end"].cast(pa.int64()),
+                "n": t["n"],
+            }
+        )
+
+    return agg.map_batches(_to_us, batch_format="pyarrow")
+
+
+@q(
+    "watermark_late",
+    """WITH w AS (SELECT max(epoch_us(ts)) - 3600000000 AS wm FROM events)
+       SELECT CAST((SELECT wm FROM w) AS BIGINT) AS watermark_us,
+              CAST((SELECT count(*) FROM events WHERE epoch_us(ts) >= (SELECT wm FROM w)) AS BIGINT)
+                  AS on_time,
+              CAST((SELECT count(*) FROM events WHERE epoch_us(ts) < (SELECT wm FROM w)) AS BIGINT)
+                  AS late""",
+)
+def watermark_late(sf_dir):
+    from pipeflow_ray.stages.watermark import split_late
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    wm = compute_watermark(ds, lateness_s=3600.0)
+    on_time, late = split_late(ds, wm)
+    wm_us = int(pd.Timestamp(wm).value // 1000)
+    return pa.table(
+        {
+            "watermark_us": pa.array([wm_us], pa.int64()),
+            "on_time": pa.array([on_time.count()], pa.int64()),
+            "late": pa.array([late.count()], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# transcripts (flagship input; fixture synthesized deterministically at /tmp —
+# the oracle SQL reads the same parquet via read_parquet())
+# ---------------------------------------------------------------------------
+
+def _tp(sf_dir: str) -> str:
+    return ensure_transcripts(sf_dir)
+
+
+# the driver runs oracles at sf0.01; fixture path is deterministic
+_TP001 = "/tmp/pipeflow_fixtures/sf0.01/transcripts.parquet"
+
+
+@q(
+    "transcripts_normalize",
+    f"""SELECT conv_id, turn_idx, role,
+               CAST(length(trim(coalesce(text, ''), {_TRIM})) AS BIGINT) AS n_chars
+        FROM read_parquet('{_TP001}')""",
+)
+def transcripts_normalize(sf_dir):
+    from pipeflow_ray.pipelines.flagship import normalize
+
+    ds = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id", "turn_idx", "role", "text"])
+
+    def _tx(t: pa.Table) -> pa.Table:
+        text = pc.utf8_trim_whitespace(pc.fill_null(t["text"], ""))
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "role": t["role"],
+                "n_chars": pc.utf8_length(text).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_tx, batch_format="pyarrow")
+
+
+@q(
+    "transcripts_turn_join",
+    f"""SELECT u.conv_id, u.turn_idx, r.role AS response_role,
+               CAST(epoch_us(r.ts) - epoch_us(u.ts) AS BIGINT) AS latency_us
+        FROM read_parquet('{_TP001}') u
+        JOIN read_parquet('{_TP001}') r
+          ON r.conv_id = u.conv_id AND r.turn_idx = u.turn_idx + 1
+        WHERE u.role = 'user' AND r.role IN ('assistant', 'tool')""",
+)
+def transcripts_turn_join(sf_dir):
+    ds = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    joined = turn_response_join(ds)
+
+    def _tx(t: pa.Table) -> pa.Table:
+        lat_us = pc.subtract(t["response_ts"].cast(pa.int64()), t["user_ts"].cast(pa.int64()))
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "response_role": t["response_role"],
+                "latency_us": lat_us,
+            }
+        )
+
+    return joined.map_batches(_tx, batch_format="pyarrow")
+
+
+@q(
+    "transcripts_window_pairs",
+    f"""WITH pairs AS (
+          SELECT u.conv_id, u.ts AS user_ts,
+                 epoch_us(r.ts) - epoch_us(u.ts) AS lat_us,
+                 length(trim(coalesce(u.text, ''), {_TRIM})) AS uc,
+                 length(trim(coalesce(r.text, ''), {_TRIM})) AS rc
+          FROM read_parquet('{_TP001}') u
+          JOIN read_parquet('{_TP001}') r
+            ON r.conv_id = u.conv_id AND r.turn_idx = u.turn_idx + 1
+          WHERE u.role = 'user' AND r.role IN ('assistant', 'tool'))
+        SELECT conv_id,
+               CAST(epoch_us(user_ts) // 3600000000 AS BIGINT) * 3600 AS window_start_s,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(lat_us) AS BIGINT) AS sum_latency_us,
+               CAST(sum(uc) AS BIGINT) AS user_chars,
+               CAST(sum(rc) AS BIGINT) AS resp_chars
+        FROM pairs GROUP BY conv_id, window_start_s""",
+)
+def transcripts_window_pairs(sf_dir):
+    from pipeflow_ray.pipelines.flagship import normalize
+
+    ds = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    ds = ds.map_batches(normalize, batch_format="pyarrow")
+    joined = turn_response_join(ds)
+
+    def _prep(t: pa.Table) -> pa.Table:
+        ws = pc.multiply(pc.divide(t["user_ts"].cast(pa.int64()), _HOUR_US), 3600)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "window_start_s": ws,
+                "lat_us": pc.subtract(t["response_ts"].cast(pa.int64()), t["user_ts"].cast(pa.int64())),
+                "uc": pc.utf8_length(pc.fill_null(t["user_text"], "")).cast(pa.int64()),
+                "rc": pc.utf8_length(pc.fill_null(t["response_text"], "")).cast(pa.int64()),
+            }
+        )
+
+    prepped = joined.map_batches(_prep, batch_format="pyarrow")
+    return partial_aggregate(
+        prepped,
+        ["conv_id", "window_start_s"],
+        {
+            "n_pairs": ("count", None),
+            "sum_latency_us": ("sum", "lat_us"),
+            "user_chars": ("sum", "uc"),
+            "resp_chars": ("sum", "rc"),
+        },
+    )
+
+
+@q(
+    "transcripts_sessions",
+    f"""WITH o AS (SELECT conv_id, epoch_us(ts) AS tus, length(coalesce(text, '')) AS nc
+                   FROM read_parquet('{_TP001}')),
+           m AS (SELECT conv_id, tus, nc,
+                        CASE WHEN tus - lag(tus) OVER (PARTITION BY conv_id ORDER BY tus)
+                                  > 1800000000 THEN 1 ELSE 0 END AS brk
+                 FROM o),
+           s AS (SELECT conv_id, tus, nc,
+                        SUM(brk) OVER (PARTITION BY conv_id ORDER BY tus
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM m)
+        SELECT conv_id, CAST(sid AS INT) AS session_id,
+               CAST(min(tus) AS BIGINT) AS start_us, CAST(max(tus) AS BIGINT) AS end_us,
+               CAST(count(*) AS BIGINT) AS n_turns, CAST(sum(nc) AS BIGINT) AS n_chars
+        FROM s GROUP BY conv_id, sid""",
+)
+def transcripts_sessions(sf_dir):
+    ds = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id", "text", "ts"])
+
+    def _nc(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "ts": t["ts"],
+                "nc": pc.utf8_length(pc.fill_null(t["text"], "")).cast(pa.int64()),
+            }
+        )
+
+    ds = ds.map_batches(_nc, batch_format="pyarrow")
+    agg = session_aggregate(ds, "conv_id", gap_s=1800.0, specs={"n_turns": ("count", None), "n_chars": ("sum", "nc")})
+
+    def _to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "session_id": t["session_id"],
+                "start_us": t["session_start"].cast(pa.int64()),
+                "end_us": t["session_end"].cast(pa.int64()),
+                "n_turns": t["n_turns"],
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    return agg.map_batches(_to_us, batch_format="pyarrow")
+
+
+@q(
+    "streaming_sessions",
+    f"""WITH o AS (SELECT conv_id, epoch_us(ts) AS tus, length(coalesce(text, '')) AS nc
+                   FROM read_parquet('{_TP001}')),
+           m AS (SELECT conv_id, tus, nc,
+                        CASE WHEN tus - lag(tus) OVER (PARTITION BY conv_id ORDER BY tus)
+                                  > 1800000000 THEN 1 ELSE 0 END AS brk
+                 FROM o),
+           s AS (SELECT conv_id, tus, nc,
+                        SUM(brk) OVER (PARTITION BY conv_id ORDER BY tus
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM m)
+        SELECT conv_id,
+               CAST(min(tus) AS BIGINT) AS start_us, CAST(max(tus) AS BIGINT) AS end_us,
+               CAST(count(*) AS BIGINT) AS n_turns, CAST(sum(nc) AS BIGINT) AS n_chars
+        FROM s GROUP BY conv_id, sid""",
+)
+def streaming_sessions(sf_dir):
+    """Micro-batch streaming runtime (arrival order + watermark + actor state);
+    with lateness covering the fixture's injected 2h disorder the result equals
+    event-time sessionization, which is what the SQL oracle states."""
+    from pipeflow_ray.pipelines.streaming import StreamingSessionRunner
+
+    runner = StreamingSessionRunner(gap_s=1800.0, lateness_s=3 * 3600.0, num_buckets=8)
+    sessions, _late, _metrics = runner.run(_tp(sf_dir))
+    out = pd.DataFrame(
+        {
+            "conv_id": sessions.conv_id,
+            "start_us": sessions.session_start.astype("datetime64[us]").astype(np.int64),
+            "end_us": sessions.session_end.astype("datetime64[us]").astype(np.int64),
+            "n_turns": sessions.n_turns.astype(np.int64),
+            "n_chars": sessions.n_chars.astype(np.int64),
+        }
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# training-data ops (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+@q(
+    "dedup_exact_docs",
+    """SELECT min(doc_id) AS doc_id FROM documents
+       GROUP BY trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))""",
+)
+def dedup_exact_docs(sf_dir):
+    from pipeflow_ray.functions.dedup import exact_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(docs).select_columns(["doc_id"])
+
+
+@q(
+    "token_counts_docs",
+    """SELECT doc_id, CAST(length(regexp_extract_all(coalesce(text, ''), '\\S+')) AS BIGINT) AS n_tokens
+       FROM documents""",
+)
+def token_counts_docs(sf_dir):
+    from pipeflow_ray.functions.text import token_count
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(token_count(), batch_format="pyarrow").select_columns(["doc_id", "n_tokens"])
+
+
+@q(
+    "ann_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+           s AS (SELECT q.query_id, e.vec_id,
+                        list_cosine_similarity(q.qe, e.embedding) AS c
+                 FROM q CROSS JOIN embeddings e),
+           r AS (SELECT query_id, vec_id,
+                        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+                 FROM s)
+        SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10""",
+)
+def ann_topk(sf_dir):
+    from pipeflow_ray.functions.similarity import brute_force_topk
+
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = qtab.to_pandas()
+    qdf = qdf[qdf.vec_id < 3].sort_values("vec_id")
+    queries = np.stack(qdf.embedding.to_numpy()).astype(np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = brute_force_topk(ds, queries, k=10)
+
+    def _fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "vec_id": t["vec_id"],
+                "rk": t["rank"].cast(pa.int64()),
+            }
+        )
+
+    return got.map_batches(_fmt, batch_format="pyarrow")
+
+
+# --- non-SQL-expressible ops: registered without oracles (rows-only check) ---
+
+@q("lang_id_docs")
+def lang_id_docs(sf_dir):
+    from pipeflow_ray.functions.text import LangId
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4)).select_columns(
+        ["doc_id", "lang_pred"]
+    )
+
+
+@q("quality_docs")
+def quality_docs(sf_dir):
+    from pipeflow_ray.functions.text import QualityScore
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 4)).select_columns(
+        ["doc_id", "quality", "alpha_ratio", "stopword_ratio"]
+    )
+
+
+@q("minhash_pairs_docs")
+def minhash_pairs_docs(sf_dir):
+    from pipeflow_ray.functions.dedup import minhash_dedup_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup_pairs(docs, threshold=0.7)
+
+
+@q("simhash_pairs_docs")
+def simhash_pairs_docs(sf_dir):
+    from pipeflow_ray.functions.dedup import simhash_dup_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_dup_pairs(docs, max_hamming=3)
+
+
+@q("embedding_neardup")
+def embedding_neardup(sf_dir):
+    from pipeflow_ray.functions.dedup import embedding_neardup_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_neardup_pairs(emb, threshold=0.9)
+
+
+@q("ivf_topk")
+def ivf_topk_query(sf_dir):
+    from pipeflow_ray.functions.similarity import ivf_topk
+
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    qdf = qtab[qtab.vec_id < 3].sort_values("vec_id")
+    queries = np.stack(qdf.embedding.to_numpy()).astype(np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, queries, k=10, n_clusters=16, nprobe=4)
+
+
+@q("multimodal_decode")
+def multimodal_decode(sf_dir):
+    from pipeflow_ray.fixtures import sf_of_dir
+    from pipeflow_ray.functions.multimodal import decode_images, synth_image_table
+
+    n = max(100, int(sf_of_dir(sf_dir) * 20_000))
+    return decode_images(ray.data.from_arrow(synth_image_table(n)), batch_size=64)
+
+
+@q("flagship")
+def flagship(sf_dir):
+    from pipeflow_ray.pipelines.flagship import flagship_pipeline
+
+    return flagship_pipeline(_tp(sf_dir))

@@ -169,7 +169,10 @@ def partial_aggregate(
             if kind == "count":
                 cols[out] = t[f"__cnt_{out}"]
             elif kind == "mean":
-                cols[out] = pc.divide(t[f"__sum_{out}"], t[f"__cnt_{out}"])
+                # cast first: pc.divide on int64 would be integer division
+                cols[out] = pc.divide(
+                    t[f"__sum_{out}"].cast(pa.float64()), t[f"__cnt_{out}"].cast(pa.float64())
+                )
             else:
                 cols[out] = t[f"__{kind}_{out}"]
         return pa.table(cols)
