@@ -46,9 +46,12 @@ def exact_dedup(
         keep[1:] = fp[1:] != fp[:-1]
         return t.filter(pa.array(keep))
 
-    # per-batch combiner, then the keyed global pass
+    # per-batch combiner, then one vectorized pass per hash bucket (the UDF is
+    # already multi-fingerprint-aware — sort + adjacent-unique)
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
     ds = ds.map_batches(_local_first, batch_format="pyarrow")
-    return ds.groupby("fingerprint").map_groups(_local_first, batch_format="pyarrow")
+    return grouped_by_bucket(ds, ["fingerprint"], _local_first, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -141,17 +144,25 @@ def minhash_lsh_candidates(
 
     banded = sigs.map_batches(_bands, batch_format="pyarrow")
 
-    def _pairs(t: pa.Table) -> pa.Table:
-        ids = np.sort(t[id_col].to_numpy(zero_copy_only=False))
-        if len(ids) < 2 or len(ids) > 10_000:  # skew guard: degenerate bucket
-            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pa.table({"id_a": pa.array(ids[a]), "id_b": pa.array(ids[b])})
+    def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """All LSH buckets of one hash bucket at once: vectorized self-merge
+        on (band, band_hash) → within-bucket pairs. Skew guard drops
+        degenerate buckets (>10k members ⇒ near-universal shingle collision)."""
+        sizes = df.groupby(["band", "band_hash"])[id_col].transform("size")
+        df = df[(sizes >= 2) & (sizes <= 10_000)]
+        if not len(df):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        m = df.merge(df, on=["band", "band_hash"])
+        a, b = m[f"{id_col}_x"], m[f"{id_col}_y"]
+        keep = a < b
+        return pd.DataFrame({"id_a": a[keep], "id_b": b[keep]}).drop_duplicates()
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(_pairs, batch_format="pyarrow")
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    pairs = grouped_by_bucket(banded, ["band", "band_hash"], _bucket_pairs, batch_format="pandas")
     # distinct across bands
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    return grouped_by_bucket(
+        pairs, ["id_a", "id_b"], lambda df: df.drop_duplicates(), batch_format="pandas"
     )
 
 
@@ -287,28 +298,33 @@ def simhash_dup_pairs(
 
     banded = sigs.map_batches(_bands, batch_format="pyarrow")
 
-    def _pairs(t: pa.Table) -> pa.Table:
-        order = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
-        t = t.take(order)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        sh = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        _, first = np.unique(ids, return_index=True)
-        ids, sh = ids[first], sh[first]
-        if len(ids) < 2 or len(ids) > 10_000:
-            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int64())})
-        a, b = np.triu_indices(len(ids), k=1)
-        x = sh[a] ^ sh[b]
+    def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby(["band", "band_val"])[id_col].transform("size")
+        df = df[(sizes >= 2) & (sizes <= 10_000)]
+        if not len(df):
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
+        m = df.merge(df, on=["band", "band_val"])
+        keep = m[f"{id_col}_x"] < m[f"{id_col}_y"]
+        m = m[keep]
+        x = m["simhash_x"].to_numpy().astype(np.uint64) ^ m["simhash_y"].to_numpy().astype(np.uint64)
         ham = np.zeros(len(x), dtype=np.int64)
         while x.any():
             ham += (x & np.uint64(1)).astype(np.int64)
             x >>= np.uint64(1)
-        keep = ham <= max_hamming
-        return pa.table({"id_a": pa.array(ids[a][keep]), "id_b": pa.array(ids[b][keep]),
-                         "hamming": pa.array(ham[keep])})
+        out = pd.DataFrame(
+            {"id_a": m[f"{id_col}_x"].to_numpy(), "id_b": m[f"{id_col}_y"].to_numpy(), "hamming": ham}
+        )
+        return out[out.hamming <= max_hamming].drop_duplicates(["id_a", "id_b"])
 
-    pairs = banded.groupby(["band", "band_val"]).map_groups(_pairs, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    pairs = grouped_by_bucket(banded, ["band", "band_val"], _bucket_pairs, batch_format="pandas")
+    return grouped_by_bucket(
+        pairs, ["id_a", "id_b"], lambda df: df.drop_duplicates(["id_a", "id_b"]), batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -345,19 +361,33 @@ def embedding_neardup_pairs(
 
     bucketed = ds.map_batches(_bucket, batch_format="pyarrow")
 
-    def _pairs(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
-        norms = t["norm"].to_numpy(zero_copy_only=False)
-        if len(ids) < 2 or len(ids) > 20_000:
+    def _super_bucket_pairs(t: pa.Table) -> pa.Table:
+        """One call per hash super-bucket; inner loop over the (few) LSH
+        buckets it contains, each verified with a single matmul."""
+        ids_all = t[id_col].to_numpy(zero_copy_only=False)
+        vecs_all = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        norms_all = t["norm"].to_numpy(zero_copy_only=False)
+        buckets = t["bucket"].to_numpy(zero_copy_only=False)
+        out_a, out_b, out_c = [], [], []
+        for bval in np.unique(buckets):
+            m = buckets == bval
+            n = int(m.sum())
+            if n < 2 or n > 20_000:
+                continue
+            ids, vecs, norms = ids_all[m], vecs_all[m], norms_all[m]
+            sims = (vecs @ vecs.T) / np.outer(norms, norms).clip(min=1e-12)
+            a, b = np.triu_indices(n, k=1)
+            keep = sims[a, b] >= threshold
+            out_a.append(np.minimum(ids[a][keep], ids[b][keep]))
+            out_b.append(np.maximum(ids[a][keep], ids[b][keep]))
+            out_c.append(sims[a, b][keep])
+        if not out_a:
             return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
-        sims = (vecs @ vecs.T) / np.outer(norms, norms).clip(min=1e-12)
-        a, b = np.triu_indices(len(ids), k=1)
-        keep = sims[a, b] >= threshold
-        out = pa.table({"id_a": pa.array(np.minimum(ids[a][keep], ids[b][keep])),
-                        "id_b": pa.array(np.maximum(ids[a][keep], ids[b][keep])),
-                        "cosine": pa.array(sims[a, b][keep])})
-        return out
+        return pa.table({"id_a": pa.array(np.concatenate(out_a)),
+                         "id_b": pa.array(np.concatenate(out_b)),
+                         "cosine": pa.array(np.concatenate(out_c), pa.float64())})
 
-    return bucketed.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    return grouped_by_bucket(bucketed, ["bucket"], _super_bucket_pairs, batch_format="pyarrow")

@@ -58,12 +58,13 @@ def flagship_pipeline(
     """
     ds = read_transcripts(transcripts_path).map_batches(normalize, batch_format="pyarrow")
 
-    joined = turn_response_join(ds)
+    # carry only the derived n_chars through the join shuffle, never raw text
+    joined = turn_response_join(ds, carry_cols=["n_chars"])
 
     def _pair_metrics(t: pa.Table) -> pa.Table:
-        t = t.append_column("user_chars", pc.utf8_length(pc.fill_null(t["user_text"], "")).cast(pa.int64()))
-        t = t.append_column("resp_chars", pc.utf8_length(pc.fill_null(t["response_text"], "")).cast(pa.int64()))
-        return t.drop_columns(["user_text", "response_text"])
+        t = t.append_column("user_chars", t["user_n_chars"].cast(pa.int64()))
+        t = t.append_column("resp_chars", t["response_n_chars"].cast(pa.int64()))
+        return t.drop_columns(["user_n_chars", "response_n_chars"])
 
     pair_stats = joined.map_batches(_pair_metrics, batch_format="pyarrow")
 

@@ -484,8 +484,8 @@ def transcripts_normalize(sf_dir):
         WHERE u.role = 'user' AND r.role IN ('assistant', 'tool')""",
 )
 def transcripts_turn_join(sf_dir):
-    ds = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
-    joined = turn_response_join(ds)
+    ds = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id", "turn_idx", "role", "tool", "ts"])
+    joined = turn_response_join(ds, carry_cols=[])
 
     def _tx(t: pa.Table) -> pa.Table:
         lat_us = pc.subtract(t["response_ts"].cast(pa.int64()), t["user_ts"].cast(pa.int64()))
@@ -525,7 +525,7 @@ def transcripts_window_pairs(sf_dir):
 
     ds = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
     ds = ds.map_batches(normalize, batch_format="pyarrow")
-    joined = turn_response_join(ds)
+    joined = turn_response_join(ds, carry_cols=["n_chars"])
 
     def _prep(t: pa.Table) -> pa.Table:
         ws = pc.multiply(pc.divide(t["user_ts"].cast(pa.int64()), _HOUR_US), 3600)
@@ -534,8 +534,8 @@ def transcripts_window_pairs(sf_dir):
                 "conv_id": t["conv_id"],
                 "window_start_s": ws,
                 "lat_us": pc.subtract(t["response_ts"].cast(pa.int64()), t["user_ts"].cast(pa.int64())),
-                "uc": pc.utf8_length(pc.fill_null(t["user_text"], "")).cast(pa.int64()),
-                "rc": pc.utf8_length(pc.fill_null(t["response_text"], "")).cast(pa.int64()),
+                "uc": t["user_n_chars"].cast(pa.int64()),
+                "rc": t["response_n_chars"].cast(pa.int64()),
             }
         )
 

@@ -36,18 +36,21 @@ def distinct_rows(ds: ray.data.Dataset, cols: list[str] | None = None) -> ray.da
     exact dedup. Hash collisions are handled: within a group we dedup on the
     actual column values, not the hash.
     """
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
     if cols:
         ds = ds.select_columns(cols)
 
     ds = ds.map_batches(local_distinct(), batch_format="pyarrow")
-
     ds = ds.map_batches(lambda t: content_hash_column(t), batch_format="pyarrow")
 
-    def _group_distinct(t: pa.Table) -> pa.Table:
+    def _bucket_distinct(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__h"])
         return t.group_by(t.column_names, use_threads=False).aggregate([])
 
-    return ds.groupby("__h").map_groups(_group_distinct, batch_format="pyarrow")
+    # shuffle on the 64-bit hash bucketed to ~2× cores: one vectorized
+    # in-bucket distinct instead of a Python call per hash value
+    return grouped_by_bucket(ds, ["__h"], _bucket_distinct, batch_format="pyarrow")
 
 
 def remove_duplicates(
@@ -60,6 +63,8 @@ def remove_duplicates(
     Per-batch first-wins combiner → shuffle on key → per-group first-wins.
     Deterministic regardless of block arrival order.
     """
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
     key_cols = [key] if isinstance(key, str) else list(key)
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
 
@@ -67,4 +72,5 @@ def remove_duplicates(
         return first_rows_per_group(t, key_cols, order_cols)
 
     ds = ds.map_batches(_local, batch_format="pyarrow")
-    return ds.groupby(key_cols).map_groups(_local, batch_format="pyarrow")
+    # first_rows_per_group is multi-key vectorized → one call per bucket
+    return grouped_by_bucket(ds, key_cols, _local, batch_format="pyarrow")

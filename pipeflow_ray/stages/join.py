@@ -55,38 +55,56 @@ def turn_response_join(
     ds: ray.data.Dataset,
     key: str = "conv_id",
     order_col: str = "turn_idx",
+    carry_cols: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Join each ``user`` turn to its response: the next turn (by
     ``turn_idx``) in the same conversation with role assistant or tool.
 
-    Partitioning assumption: one shuffle on ``conv_id`` co-locates every
-    conversation; within the group the pairing is a vectorized shift — no
-    per-row Python. Output: one row per user turn that has a response, with
-    response text/role/tool and the response latency in seconds.
+    Partitioning assumption: one shuffle on ``hash(conv_id) % B`` co-locates
+    every conversation; the pairing UDF runs once per BUCKET (not per
+    conversation — see :func:`~pipeflow_ray.stages.core.grouped_by_bucket`)
+    and is vectorized across all conversations in the bucket: sort by
+    (conv_id, turn_idx), shift(-1), mask out cross-conversation boundaries.
+    Output: one row per user turn that has a response, with
+    ``user_<col>`` / ``response_<col>`` for every *carry_cols* entry (default
+    ``["text"]``), ``response_role``/``response_tool``, and the response
+    latency in seconds.
+
+    Shuffle-volume note: only ``key``/``order_col``/``role``/``tool``/``ts``
+    and the carry columns cross the wire — callers that only need derived
+    metrics (char counts, token counts) should compute them BEFORE the join
+    and carry the small column instead of ``text`` (the flagship pipeline
+    carries ``n_chars``: ~25× less shuffle bytes than carrying raw text).
     """
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    carry = carry_cols if carry_cols is not None else ["text"]
+    needed = list(dict.fromkeys([key, order_col, "role", "tool", "ts", *carry]))
+    ds = ds.select_columns([c for c in needed])
 
     def _pair(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_col, kind="mergesort")
+        g = g.sort_values([key, order_col], kind="mergesort")
         nxt = g.shift(-1)
+        same_conv = nxt[key].to_numpy() == g[key].to_numpy()
         is_user = g["role"] == "user"
         responded = nxt["role"].isin(["assistant", "tool"])
-        take = is_user & responded & (nxt[order_col] == g[order_col] + 1)
-        out = pd.DataFrame(
-            {
-                key: g.loc[take, key],
-                "turn_idx": g.loc[take, order_col].astype("int32"),
-                "user_text": g.loc[take, "text"],
-                "user_ts": g.loc[take, "ts"],
-                "response_role": nxt.loc[take, "role"],
-                "response_text": nxt.loc[take, "text"],
-                "response_tool": nxt.loc[take, "tool"],
-                "response_ts": nxt.loc[take, "ts"],
-            }
-        )
+        take = is_user & responded & same_conv & (nxt[order_col] == g[order_col] + 1)
+        cols = {
+            key: g.loc[take, key],
+            "turn_idx": g.loc[take, order_col].astype("int32"),
+            "user_ts": g.loc[take, "ts"],
+            "response_role": nxt.loc[take, "role"],
+            "response_tool": nxt.loc[take, "tool"],
+            "response_ts": nxt.loc[take, "ts"],
+        }
+        for c in carry:
+            cols[f"user_{c}"] = g.loc[take, c]
+            cols[f"response_{c}"] = nxt.loc[take, c]
+        out = pd.DataFrame(cols)
         out["latency_s"] = (out["response_ts"] - out["user_ts"]).dt.total_seconds()
         return out
 
-    return ds.groupby(key).map_groups(_pair, batch_format="pandas")
+    return grouped_by_bucket(ds, [key], _pair, batch_format="pandas")
 
 
 def hash_join(

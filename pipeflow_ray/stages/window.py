@@ -86,20 +86,26 @@ def assign_sessions(
     """Assign gap-based session ids per *key*: rows sorted by event time within
     the key; a new session starts when ``ts - prev_ts > gap``.
 
-    Shuffle: one ``groupby(key)`` — the scan inside each group is a vectorized
-    pandas cumulative sum. Emits ``session_id`` (0-based per key) plus
-    ``session_start``.
+    Shuffle: one bucket groupby (``hash(key) % B`` — see
+    ``core.grouped_by_bucket``); the scan is vectorized across all keys in
+    the bucket (key-change OR gap starts a new session). Emits ``session_id``
+    (0-based per key) plus ``session_start``.
     """
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
     gap = pd.Timedelta(seconds=gap_s)
 
     def _scan(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, *order_cols], kind="mergesort")
-        new_session = (g[ts_col].diff() > gap).fillna(False)
-        g["session_id"] = new_session.cumsum().astype(np.int32)
-        g["session_start"] = g.groupby("session_id")[ts_col].transform("min")
+        g = g.sort_values([key, ts_col, *order_cols], kind="mergesort")
+        new_key = g[key].ne(g[key].shift())
+        new_session = new_key | (g[ts_col].diff() > gap)
+        frag = new_session.cumsum()
+        first_frag = frag.where(new_key).ffill()
+        g["session_id"] = (frag - first_frag).astype(np.int32)
+        g["session_start"] = g.groupby(frag)[ts_col].transform("min")
         return g
 
-    return ds.groupby(key).map_groups(_scan, batch_format="pandas")
+    return grouped_by_bucket(ds, [key], _scan, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -211,8 +217,11 @@ def session_aggregate(
     specs: dict[str, tuple[str, str | None]],
     ts_col: str = "ts",
 ) -> ray.data.Dataset:
-    """Session-windowed aggregate: one groupby(key) shuffle; the session scan
-    and the in-session aggregation both happen inside the group."""
+    """Session-windowed aggregate: one bucket-groupby shuffle; the session
+    scan and the in-session aggregation are vectorized across all keys of the
+    bucket (single pandas groupby over session fragments)."""
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
     kinds = {
         "sum": "sum", "count": "count", "min": "min", "max": "max", "mean": "mean",
     }
@@ -222,11 +231,15 @@ def session_aggregate(
     gap = pd.Timedelta(seconds=gap_s)
 
     def _scan_and_agg(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        sid = (g[ts_col].diff() > gap).fillna(False).cumsum()
-        gb = g.groupby(sid)
+        g = g.sort_values([key, ts_col], kind="mergesort")
+        new_key = g[key].ne(g[key].shift())
+        new_session = new_key | (g[ts_col].diff() > gap)
+        frag = new_session.cumsum()
+        first_frag = frag.where(new_key).ffill()
+        sid = (frag - first_frag).astype(np.int32)
+        gb = g.groupby(frag)
         out = pd.DataFrame({key: gb[key].first()})
-        out["session_id"] = out.index.astype(np.int32)
+        out["session_id"] = sid.groupby(frag).first()
         out["session_start"] = gb[ts_col].min()
         out["session_end"] = gb[ts_col].max()
         for name, (kind, col) in specs.items():
@@ -236,4 +249,4 @@ def session_aggregate(
                 out[name] = getattr(gb[col], kinds[kind])()
         return out.reset_index(drop=True)
 
-    return ds.groupby(key).map_groups(_scan_and_agg, batch_format="pandas")
+    return grouped_by_bucket(ds, [key], _scan_and_agg, batch_format="pandas")
