@@ -139,23 +139,34 @@ def sf_of_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.01
 
 
-def ensure_transcripts(sf_dir_or_sf: str | float, seed: int = 42) -> str:
-    """Idempotently materialize the transcripts fixture parquet for a scale factor.
+ROWS_PER_SHARD = 150_000  # ~150 MB decoded per shard: one read task each
 
-    Returns the parquet path. Deterministic per (sf, seed); safe under
-    concurrent callers (atomic rename).
+
+def ensure_transcripts(sf_dir_or_sf: str | float, seed: int = 42) -> str:
+    """Idempotently materialize the transcripts fixture for a scale factor as
+    a DIRECTORY of parquet shards in arrival order (shard k = arrival rows
+    [k·N, (k+1)·N)) — the layout a real transcript log would have, and what
+    makes the read stage parallel (Ray schedules one read task per file; a
+    single big file is read by ONE task regardless of override_num_blocks).
+
+    Returns the directory path. Deterministic per (sf, seed); safe under
+    concurrent callers (atomic rename of the whole directory).
     """
     sf = sf_of_dir(sf_dir_or_sf) if isinstance(sf_dir_or_sf, str) else float(sf_dir_or_sf)
     target = max(200, int(round(sf * TURNS_PER_SF)))
     out_dir = os.path.join(FIXTURE_ROOT, f"sf{sf}")
-    path = os.path.join(out_dir, "transcripts.parquet")
-    if os.path.exists(path):
+    path = os.path.join(out_dir, "transcripts")
+    if os.path.isdir(path):
         return path
     os.makedirs(out_dir, exist_ok=True)
     table = gen_transcripts(target, seed=seed)
     tmp = path + f".tmp.{os.getpid()}"
-    # row groups sized so Ray Data reads the file as multiple blocks
-    pq.write_table(table, tmp, row_group_size=max(4096, target // 32))
+    os.makedirs(tmp, exist_ok=True)
+    n_shards = max(1, (table.num_rows + ROWS_PER_SHARD - 1) // ROWS_PER_SHARD)
+    for k in range(n_shards):
+        shard = table.slice(k * ROWS_PER_SHARD, ROWS_PER_SHARD)
+        pq.write_table(shard, os.path.join(tmp, f"part-{k:05d}.parquet"),
+                       row_group_size=max(4096, ROWS_PER_SHARD // 4))
     os.replace(tmp, path)
     return path
 

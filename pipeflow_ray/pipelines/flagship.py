@@ -1,26 +1,37 @@
 """Flagship pipeline (BASELINE.md headline): read transcripts → normalize →
-session windows + stateful turn-response join → windowed aggregates →
-exactly-once partitioned Parquet sink.
+stateful turn-response join → tumbling window aggregate → exactly-once
+partitioned Parquet sink.
 
-Everything streams: one ``read_parquet`` (column-pruned), stateless
-``map_batches`` for normalization, exactly two key-shuffles on ``conv_id``
-(session scan+aggregate, join), a partial-aggregated tumbling window, and the
-manifest-committed sink. No full materialization anywhere; the returned
-Dataset is lazy until consumed.
+Fused single-shuffle design: every keyed stage of this pipeline — the join,
+the per-conversation window aggregate, and the sink partitioning — uses the
+SAME key (``conv_id``), so after the one ``hash(conv_id) % B`` bucket shuffle
+the whole chain runs inside one vectorized bucket pass:
+
+    read (pruned) → normalize (stateless tasks, text dropped after n_chars)
+    → bucket shuffle → per bucket: pair turns → window-aggregate → atomically
+      commit partition file (bucket id = partition id) → emit aggregate rows
+
+One all-to-all exchange total, moving only (conv_id, turn_idx, role, tool,
+ts, n_chars) — never raw text. Exactly-once: each bucket commits through
+``state.manifest.commit_partition`` (atomic manifest rename; Ray task retries
+and job re-runs no-op on committed partitions).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
 
-from pipeflow_ray.stages.join import turn_response_join
-from pipeflow_ray.stages.window import session_aggregate, tumbling_aggregate
-from pipeflow_ray.state.manifest import write_exactly_once
+from pipeflow_ray.stages.core import add_bucket_column  # noqa: F401 (legacy path)
+from pipeflow_ray.stages.window import session_aggregate
+from pipeflow_ray.state.manifest import commit_partition, prepare_sink
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+US_PER_HOUR = 3_600_000_000
 
 
 def normalize(t: pa.Table) -> pa.Table:
@@ -33,71 +44,158 @@ def normalize(t: pa.Table) -> pa.Table:
     return t.append_column("n_chars", n_chars.cast(pa.int64()))
 
 
-def read_transcripts(path: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
+def read_transcripts(path: str, num_blocks: int | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(path, columns=TRANSCRIPT_COLUMNS, override_num_blocks=num_blocks)
+
+
+def _read_blocks(path: str) -> int:
+    """Block-count heuristic: ~one block per core, floor of ~64 MiB blocks.
+    Fewer, larger blocks cut the sort-shuffle's O(blocks × partitions) object
+    count — measured 3× on the flagship at sf0.1."""
+    import os
+
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    if os.path.isdir(path):
+        # sharded log: one read task per shard is the sweet spot (measured
+        # 2-4× vs letting Ray pick, which over-splits into tiny blocks)
+        return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    size = os.path.getsize(path)
+    return max(cpus, size // (64 << 20))
+
+
+def _slim(t: pa.Table) -> pa.Table:
+    """Shuffle payload: conv_id + int32 turn_idx + int8 role code + int64
+    ts/n_chars. Raw text and role strings never cross the exchange."""
+    role = t["role"]
+    code = pc.if_else(
+        pc.equal(role, "user"),
+        pa.scalar(0, pa.int8()),
+        pc.if_else(
+            pc.is_in(role, value_set=pa.array(["assistant", "tool"])),
+            pa.scalar(1, pa.int8()),
+            pa.scalar(2, pa.int8()),
+        ),
+    )
+    return pa.table(
+        {
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "rc": code,
+            "ts_us": t["ts"].cast(pa.int64()),
+            "n_chars": t["n_chars"],
+        }
+    )
+
+
+def _pair_and_window(g: pd.DataFrame, window_s: float) -> pd.DataFrame:
+    """Vectorized over every conversation in the bucket: pair each user turn
+    with its immediate assistant/tool response, then tumbling-window aggregate
+    per (conv_id, window)."""
+    window_us = int(window_s * 1_000_000)
+    g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    nxt = g.shift(-1)
+    same = nxt["conv_id"].to_numpy() == g["conv_id"].to_numpy()
+    take = (g["rc"] == 0) & (nxt["rc"] == 1) & same & (nxt["turn_idx"] == g["turn_idx"] + 1)
+    user_us = g.loc[take, "ts_us"].to_numpy()
+    resp_us = nxt.loc[take, "ts_us"].to_numpy()
+    pairs = pd.DataFrame(
+        {
+            "conv_id": g.loc[take, "conv_id"],
+            "window_start": user_us // window_us * window_us,
+            "latency_s": (resp_us - user_us) / 1e6,
+            "user_chars": g.loc[take, "n_chars"].to_numpy(),
+            "resp_chars": nxt.loc[take, "n_chars"].to_numpy(),
+        }
+    )
+    gb = pairs.groupby(["conv_id", "window_start"], sort=False)
+    out = gb.agg(
+        n_pairs=("latency_s", "size"),
+        mean_latency_s=("latency_s", "mean"),
+        max_latency_s=("latency_s", "max"),
+        user_chars=("user_chars", "sum"),
+        resp_chars=("resp_chars", "sum"),
+    ).reset_index()
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out
 
 
 def flagship_pipeline(
     transcripts_path: str,
     out_dir: str | None = None,
-    session_gap_s: float = 1800.0,
     window_s: float = 3600.0,
-    num_partitions: int = 32,
+    num_partitions: int = 64,
+    return_windowed: bool = True,
 ):
-    """Run the flagship chain; returns the joined-window aggregate Dataset
-    (and writes it exactly-once when *out_dir* is given).
+    """Run the fused flagship chain; returns the window-aggregate Dataset
+    (and, with *out_dir*, a per-partition stats DataFrame from the
+    exactly-once sink — partition id = conv_id hash bucket).
 
-    Stages:
-      1. read (pruned columns) → normalize (stateless tasks)
-      2. stateful conv_id join: user turn ↔ next assistant/tool turn
-      3. tumbling 1h window per conv over joined pairs:
-         pairs, mean/max response latency, chars in/out
-      4. session windows per conv over raw turns: sessions, turns/chars per
-         session (second output)
-      5. exactly-once sink on the window aggregate, partitioned by conv_id
+    The keyed all-to-all is :func:`~pipeflow_ray.stages.core.hash_exchange`
+    (raw-Ray map-side split, no sort barrier); each bucket-reduce task pairs,
+    window-aggregates, and (with *out_dir*) atomically commits its partition.
     """
-    ds = read_transcripts(transcripts_path).map_batches(normalize, batch_format="pyarrow")
+    import ray as _ray
 
-    # carry only the derived n_chars through the join shuffle, never raw text
-    joined = turn_response_join(ds, carry_cols=["n_chars"])
+    from pipeflow_ray.stages.core import hash_exchange
 
-    def _pair_metrics(t: pa.Table) -> pa.Table:
-        t = t.append_column("user_chars", t["user_n_chars"].cast(pa.int64()))
-        t = t.append_column("resp_chars", t["response_n_chars"].cast(pa.int64()))
-        return t.drop_columns(["user_n_chars", "response_n_chars"])
+    ds = read_transcripts(transcripts_path, num_blocks=_read_blocks(transcripts_path))
+    # normalize and slim in one stateless pass: raw text never crosses the exchange
+    ds = ds.map_batches(lambda t: _slim(normalize(t)), batch_format="pyarrow")
+    buckets = hash_exchange(ds, ["conv_id"], num_buckets=num_partitions)
 
-    pair_stats = joined.map_batches(_pair_metrics, batch_format="pyarrow")
-
-    windowed = tumbling_aggregate(
-        pair_stats,
-        keys=["conv_id"],
-        width_s=window_s,
-        specs={
-            "n_pairs": ("count", None),
-            "mean_latency_s": ("mean", "latency_s"),
-            "max_latency_s": ("max", "latency_s"),
-            "user_chars": ("sum", "user_chars"),
-            "resp_chars": ("sum", "resp_chars"),
-        },
-        ts_col="user_ts",
+    _empty = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("window_start", pa.timestamp("us")),
+            ("n_pairs", pa.int64()),
+            ("mean_latency_s", pa.float64()),
+            ("max_latency_s", pa.float64()),
+            ("user_chars", pa.int64()),
+            ("resp_chars", pa.int64()),
+        ]
     )
 
-    if out_dir is not None:
-        stats = write_exactly_once(
-            windowed,
-            out_dir,
-            part_by="conv_id",
-            num_partitions=num_partitions,
-            ts_col="window_start",
-            lineage={"input": transcripts_path, "pipeline": "flagship"},
-        )
-        return windowed, stats
-    return windowed
+    def _reduce_table(slices) -> pa.Table:
+        slices = [t for t in slices if t.num_rows]
+        if not slices:
+            return _empty.empty_table()
+        agg = _pair_and_window(pa.concat_tables(slices).to_pandas(), window_s)
+        return pa.Table.from_pandas(agg, preserve_index=False).cast(_empty)
+
+    if out_dir is None:
+
+        @_ray.remote
+        def _agg(*slices) -> pa.Table:
+            return _reduce_table(slices)
+
+        outs = [_agg.remote(*bucket) for bucket in buckets]
+        return ray.data.from_arrow_refs(outs)
+
+    prepare_sink(out_dir)
+    lineage = {"input": transcripts_path, "pipeline": "flagship"}
+
+    @_ray.remote
+    def _agg_commit(pid: int, *slices) -> dict:
+        return commit_partition(_reduce_table(slices), out_dir, pid,
+                                ts_col="window_start", lineage=lineage)
+
+    stats = pd.DataFrame(_ray.get([_agg_commit.remote(j, *b) for j, b in enumerate(buckets)]))
+    stats = stats.sort_values("partition_id").reset_index(drop=True)
+    if not return_windowed:  # skip the driver-side read-back (bench hot path)
+        return None, stats
+    from pipeflow_ray.state.manifest import read_committed
+
+    windowed = ray.data.from_arrow(read_committed(out_dir))
+    return windowed, stats
 
 
 def session_stats(transcripts_path: str, session_gap_s: float = 1800.0) -> ray.data.Dataset:
     """Companion output: per-conversation session windows over raw turns."""
     ds = read_transcripts(transcripts_path).map_batches(normalize, batch_format="pyarrow")
+    ds = ds.select_columns(["conv_id", "ts", "n_chars"])
     return session_aggregate(
         ds,
         key="conv_id",

@@ -446,7 +446,7 @@ def _tp(sf_dir: str) -> str:
 
 
 # the driver runs oracles at sf0.01; fixture path is deterministic
-_TP001 = "/tmp/pipeflow_fixtures/sf0.01/transcripts.parquet"
+_TP001 = "/tmp/pipeflow_fixtures/sf0.01/transcripts/*.parquet"
 
 
 @q(

@@ -122,9 +122,25 @@ class StreamingSessionRunner:
         n_rows = 0
         n_batches = 0
 
-        pf = pq.ParquetFile(parquet_path)
+        import os
+
+        if os.path.isdir(parquet_path):  # sharded log: replay shards in name order
+            files = sorted(
+                os.path.join(parquet_path, f)
+                for f in os.listdir(parquet_path)
+                if f.endswith(".parquet")
+            )
+        else:
+            files = [parquet_path]
+
+        def _arrival_batches():
+            for fp in files:
+                yield from pq.ParquetFile(fp).iter_batches(
+                    batch_size=micro_batch_rows, columns=["conv_id", "text", "ts"]
+                )
+
         pending: list[ray.ObjectRef] = []
-        for rb in pf.iter_batches(batch_size=micro_batch_rows, columns=["conv_id", "text", "ts"]):
+        for rb in _arrival_batches():
             n_batches += 1
             n_rows += rb.num_rows
             df = pd.DataFrame(

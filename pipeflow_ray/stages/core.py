@@ -127,3 +127,40 @@ def grouped_by_bucket(
             return fn(g.drop_columns(["__bucket"]))
 
     return ds.groupby("__bucket").map_groups(_wrap, batch_format=batch_format)
+
+
+def hash_exchange(ds, key_cols: list[str], num_buckets: int = DEFAULT_BUCKETS):
+    """Explicit map-side hash exchange built on raw Ray tasks: each upstream
+    block is split once into per-bucket slices (single stable argsort on the
+    key hash, zero-copy slices); the caller reduces each bucket from its
+    scattered slices.
+
+    This is the engine's keyed all-to-all when no sort order is needed —
+    measured ~2× faster end-to-end than ``groupby(bucket).map_groups`` (Ray's
+    sort-based shuffle) on the flagship, and it scales with workers because
+    there is no global sort barrier: splits are embarrassingly parallel and
+    each reduce starts as soon as its slices exist. Dataset-API escape hatch
+    per SURVEY §2 custom-operator rule (c): the Dataset API cannot express a
+    keyed exchange without its sort machinery.
+
+    Returns ``list[list[ObjectRef[pa.Table]]]``: ``out[j]`` = the slices of
+    bucket ``j`` (pass to a reduce task; empty slices included).
+    """
+    import ray as _ray
+
+    @_ray.remote(num_returns=num_buckets)
+    def _split(tbl: pa.Table):
+        df = tbl.select(key_cols).to_pandas()
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy() % num_buckets
+        order = np.argsort(h, kind="stable")
+        t = tbl.take(pa.array(order))
+        hs = h[order]
+        bounds = np.searchsorted(hs, np.arange(num_buckets + 1))
+        out = tuple(t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(num_buckets))
+        return out if num_buckets > 1 else out[0]
+
+    refs = ds.to_arrow_refs()
+    parts = [_split.remote(r) for r in refs]
+    if num_buckets == 1:
+        return [parts]
+    return [[p[j] for p in parts] for j in range(num_buckets)]

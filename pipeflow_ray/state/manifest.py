@@ -86,6 +86,59 @@ def filter_completed(
     )
 
 
+def commit_partition(
+    body: pa.Table,
+    out_dir: str,
+    pid: int,
+    ts_col: str | None = None,
+    lineage: dict | None = None,
+) -> dict:
+    """Commit one partition exactly-once: temp write → fsync → atomic data
+    rename → atomic manifest rename (THE commit point). Idempotent: an
+    existing manifest makes this a no-op. Usable from any task — the fused
+    flagship bucket pass calls it directly."""
+    t0 = time.perf_counter()
+    mpath = _manifest_path(out_dir, pid)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            m = json.load(f)
+        return {"partition_id": pid, "rows": m["rows"], "bytes": m["bytes"],
+                "skipped": True, "wall_s": 0.0}
+    final = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+    tmp = os.path.join(out_dir, "_tmp", f"part-{pid:05d}.{uuid.uuid4().hex}.parquet")
+    pq.write_table(body, tmp)
+    with open(tmp, "rb") as f:
+        os.fsync(f.fileno())
+    os.replace(tmp, final)  # deterministic final path: retries overwrite, never duplicate
+    nbytes = os.path.getsize(final)
+    manifest = {
+        "partition_id": pid,
+        "file": os.path.basename(final),
+        "rows": body.num_rows,
+        "bytes": nbytes,
+        "lineage": lineage or {},
+        "wall_s": round(time.perf_counter() - t0, 4),
+    }
+    if ts_col and ts_col in body.column_names and body.num_rows:
+        import pyarrow.compute as pc
+
+        manifest["min_ts"] = str(pc.min(body[ts_col]).as_py())
+        manifest["max_ts"] = str(pc.max(body[ts_col]).as_py())
+    mtmp = mpath + "." + uuid.uuid4().hex
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(mtmp, mpath)  # ← the atomic commit point
+    return {"partition_id": pid, "rows": body.num_rows, "bytes": nbytes,
+            "skipped": False, "wall_s": manifest["wall_s"]}
+
+
+def prepare_sink(out_dir: str) -> None:
+    os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "_tmp"), exist_ok=True)
+
+
 def write_exactly_once(
     ds: ray.data.Dataset,
     out_dir: str,
@@ -100,54 +153,15 @@ def write_exactly_once(
     wall_s). Safe to call repeatedly: committed partitions are skipped, a
     crashed/partial write is atomically overwritten on retry.
     """
-    os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
-    os.makedirs(os.path.join(out_dir, "_tmp"), exist_ok=True)
+    prepare_sink(out_dir)
     lineage = lineage or {}
 
     with_pid = ds.map_batches(_partition_id_column(part_by, num_partitions), batch_format="pyarrow")
 
     def _commit(t: pa.Table) -> pa.Table:
-        t0 = time.perf_counter()
         pid = int(t["__part"][0].as_py())
-        mpath = _manifest_path(out_dir, pid)
-        if os.path.exists(mpath):  # retry / resume: already committed → no-op
-            with open(mpath) as f:
-                m = json.load(f)
-            return pa.table(
-                {"partition_id": [pid], "rows": [m["rows"]], "bytes": [m["bytes"]],
-                 "skipped": [True], "wall_s": [0.0]}
-            )
-        body = t.drop_columns(["__part"])
-        final = os.path.join(out_dir, f"part-{pid:05d}.parquet")
-        tmp = os.path.join(out_dir, "_tmp", f"part-{pid:05d}.{uuid.uuid4().hex}.parquet")
-        pq.write_table(body, tmp)
-        with open(tmp, "rb") as f:
-            os.fsync(f.fileno())
-        os.replace(tmp, final)  # deterministic final path: retries overwrite, never duplicate
-        nbytes = os.path.getsize(final)
-        manifest = {
-            "partition_id": pid,
-            "file": os.path.basename(final),
-            "rows": body.num_rows,
-            "bytes": nbytes,
-            "lineage": lineage,
-            "wall_s": round(time.perf_counter() - t0, 4),
-        }
-        if ts_col and ts_col in body.column_names and body.num_rows:
-            import pyarrow.compute as pc
-
-            manifest["min_ts"] = str(pc.min(body[ts_col]).as_py())
-            manifest["max_ts"] = str(pc.max(body[ts_col]).as_py())
-        mtmp = mpath + "." + uuid.uuid4().hex
-        with open(mtmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(mtmp, mpath)  # ← the atomic commit point
-        return pa.table(
-            {"partition_id": [pid], "rows": [body.num_rows], "bytes": [nbytes],
-             "skipped": [False], "wall_s": [manifest["wall_s"]]}
-        )
+        s = commit_partition(t.drop_columns(["__part"]), out_dir, pid, ts_col, lineage)
+        return pa.table({k: [v] for k, v in s.items()})
 
     stats = with_pid.groupby("__part").map_groups(_commit, batch_format="pyarrow").to_pandas()
     return stats.sort_values("partition_id").reset_index(drop=True)
