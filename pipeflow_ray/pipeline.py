@@ -319,7 +319,73 @@ class Pipeline:
         """Builder-API ``Stream()`` (``PipelineBuilder.cs:199-213``): lazy iteration."""
         return self._ds.iter_batches(batch_format=batch_format, batch_size=batch_size)
 
+    # -------------------------------------------------------- validation
+    def validate(self, validator, strategy: str = "skip"):
+        """Reference ``Validate(configure, errorHandling)`` (``PipeFlow.cs:509-557``).
+        Strategies: throw / skip / log / fix / route (route → (valid, invalid))."""
+        from pipeflow_ray.stages.validate import apply_validation
+
+        out = apply_validation(self._ds, validator, strategy)
+        if strategy == "route":
+            valid, invalid = out
+            return self._chain(valid), self._chain(invalid)
+        return self._chain(out)
+
+    def validate_with_results(self, validator) -> "Pipeline":
+        """Reference ``ValidateWithResults`` (``PipeFlow.cs:559-574``)."""
+        from pipeflow_ray.stages.validate import validate_with_results as _vwr
+
+        return self._chain(_vwr(self._ds, validator))
+
+    # ------------------------------------------------- streaming layer (north rule)
+    def tumbling_window(self, keys: list[str], width_s: float, specs: dict, ts_col: str = "ts") -> "Pipeline":
+        from pipeflow_ray.stages.window import tumbling_aggregate
+
+        return self._chain(tumbling_aggregate(self._ds, keys, width_s, specs, ts_col))
+
+    def sliding_window(self, keys: list[str], width_s: float, slide_s: float, specs: dict, ts_col: str = "ts") -> "Pipeline":
+        from pipeflow_ray.stages.window import sliding_aggregate
+
+        return self._chain(sliding_aggregate(self._ds, keys, width_s, slide_s, specs, ts_col))
+
+    def session_window(self, key: str, gap_s: float, specs: dict, ts_col: str = "ts") -> "Pipeline":
+        from pipeflow_ray.stages.window import session_aggregate
+
+        return self._chain(session_aggregate(self._ds, key, gap_s, specs, ts_col))
+
+    def split_late(self, lateness_s: float, ts_col: str = "ts") -> "tuple[Pipeline, Pipeline]":
+        """Watermark split: (on_time, late); late rows routed, never dropped."""
+        from pipeflow_ray.stages.watermark import compute_watermark, split_late
+
+        wm = compute_watermark(self._ds, lateness_s, ts_col)
+        on_time, late = split_late(self._ds, wm, ts_col)
+        return self._chain(on_time), self._chain(late)
+
+    def join_broadcast(self, small, on, how: str = "inner") -> "Pipeline":
+        from pipeflow_ray.stages.join import broadcast_join
+
+        return self._chain(broadcast_join(self._ds, small, on, how))
+
+    def join_hash(self, other: "Pipeline", on, how: str = "inner", num_partitions: int = 32) -> "Pipeline":
+        from pipeflow_ray.stages.join import hash_join
+
+        return self._chain(hash_join(self._ds, other._ds, on, how, num_partitions))
+
+    def join_turn_response(self, key: str = "conv_id", order_col: str = "turn_idx",
+                           carry_cols: list[str] | None = None) -> "Pipeline":
+        from pipeflow_ray.stages.join import turn_response_join
+
+        return self._chain(turn_response_join(self._ds, key, order_col, carry_cols))
+
     # -------------------------------------------------------------------- sinks
+    def write_exactly_once(self, out_dir: str, part_by="conv_id", num_partitions: int = 32,
+                           ts_col: str | None = "ts", lineage: dict | None = None):
+        """Exactly-once partitioned Parquet sink (per-partition atomic commit
+        manifests; re-runs/retries no-op). Returns the per-partition stats frame."""
+        from pipeflow_ray.state.manifest import write_exactly_once as _weo
+
+        return _weo(self._ds, out_dir, part_by, num_partitions, ts_col, lineage)
+
     def to_parquet(self, path: str, **kw):
         self._ds.write_parquet(path, **kw)
 

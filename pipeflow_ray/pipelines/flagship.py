@@ -177,12 +177,27 @@ def flagship_pipeline(
     prepare_sink(out_dir)
     lineage = {"input": transcripts_path, "pipeline": "flagship"}
 
+    # resume: committed partitions are pruned on the driver BEFORE any reduce
+    # compute is scheduled (their stats come straight from the manifests);
+    # commit_partition re-checks inside the task for retry races.
+    from pipeflow_ray.state.manifest import completed_partitions
+
+    done = completed_partitions(out_dir)
+
     @_ray.remote
     def _agg_commit(pid: int, *slices) -> dict:
         return commit_partition(_reduce_table(slices), out_dir, pid,
                                 ts_col="window_start", lineage=lineage)
 
-    stats = pd.DataFrame(_ray.get([_agg_commit.remote(j, *b) for j, b in enumerate(buckets)]))
+    futures = [
+        _agg_commit.remote(j, *b) for j, b in enumerate(buckets) if j not in done
+    ]
+    rows = _ray.get(futures) + [
+        {"partition_id": j, "rows": m["rows"], "bytes": m["bytes"],
+         "skipped": True, "wall_s": 0.0}
+        for j, m in done.items()
+    ]
+    stats = pd.DataFrame(rows)
     stats = stats.sort_values("partition_id").reset_index(drop=True)
     if not return_windowed:  # skip the driver-side read-back (bench hot path)
         return None, stats

@@ -1,0 +1,77 @@
+"""Fluent-API surface tests: the full user-facing chain shapes the reference
+supports, expressed through Pipeline (SURVEY §2.1-§2.3, §2.10)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from pipeflow_ray import Pipeline
+from pipeflow_ray.fixtures import gen_transcripts
+from pipeflow_ray.stages.validate import DataValidator
+
+
+def test_validate_route_through_pipeline():
+    t = pa.table({"x": ["a", "", "c"], "n": pa.array([1, 5, 99], pa.int64())})
+    v = DataValidator()
+    v.column("x").required()
+    v.column("n").in_range(0, 10)
+    valid, invalid = Pipeline.from_arrow(t).validate(v, "route")
+    assert valid.count() == 1 and invalid.count() == 2
+
+
+def test_window_methods_via_pipeline(transcripts_table):
+    p = Pipeline.from_arrow(transcripts_table)
+    tw = p.tumbling_window(["conv_id"], 3600.0, {"n": ("count", None)}).to_pandas()
+    assert tw.n.sum() == transcripts_table.num_rows
+    sw = p.sliding_window(["conv_id"], 7200.0, 3600.0, {"n": ("count", None)}).to_pandas()
+    assert sw.n.sum() == 2 * transcripts_table.num_rows  # each row in 2 windows
+    sess = p.session_window("conv_id", 1800.0, {"n": ("count", None)}).to_pandas()
+    assert sess.n.sum() == transcripts_table.num_rows
+
+
+def test_split_late_and_join_through_pipeline(transcripts_table):
+    p = Pipeline.from_arrow(transcripts_table)
+    on_time, late = p.split_late(3600.0)
+    assert on_time.count() + late.count() == transcripts_table.num_rows
+
+    joined = p.join_turn_response(carry_cols=[]).to_pandas()
+    assert len(joined) > 0 and (joined.latency_s > 0).all()
+
+
+def test_join_hash_through_pipeline():
+    left = Pipeline.from_items([{"k": i, "l": i} for i in range(100)])
+    right = Pipeline.from_items([{"k": i, "r": -i} for i in range(50, 150)])
+    out = left.join_hash(right, on="k", num_partitions=4).to_pandas()
+    assert len(out) == 50 and (out.l == -out.r).all()
+
+
+def test_write_exactly_once_through_pipeline(tmp_path):
+    t = gen_transcripts(500)
+    stats = Pipeline.from_arrow(t).write_exactly_once(str(tmp_path / "o"), num_partitions=4)
+    assert stats.rows.sum() == t.num_rows
+    stats2 = Pipeline.from_arrow(t).write_exactly_once(str(tmp_path / "o"), num_partitions=4)
+    assert stats2.skipped.all()
+
+
+def test_full_chain_reference_shape(tmp_path):
+    """The reference's canonical shape: From → Filter → Map → GroupBy → To
+    (README.md fluent example), on transcripts."""
+    import pyarrow.compute as pc
+    from pyarrow.dataset import field
+
+    t = gen_transcripts(2000)
+    out = (
+        Pipeline.from_arrow(t)
+        .filter(field("role") == "user")
+        .add_column("n_chars", lambda tbl: pc.utf8_length(pc.fill_null(tbl["text"], "")))
+        .group_by("conv_id")
+        .aggregate(turns="count", chars=("sum", "n_chars"))
+        .order_by("turns", descending=True)
+        .take_n(5)
+        .to_pandas()
+    )
+    assert len(out) == 5
+    assert out.turns.iloc[0] == out.turns.max()
+    # hot conversation must be on top
+    assert out.conv_id.iloc[0] == "conv_00000000"

@@ -125,3 +125,33 @@ def test_session_stats_matches_oracle(transcripts_path):
         ref[["conv_id", "session_start", "session_end", "n_turns"]],
         check_dtype=False,
     )
+
+
+def test_flagship_resume_recomputes_only_missing(transcripts_path, tmp_path):
+    """Checkpoint/resume: wipe 2 of the committed manifests; the re-run must
+    recompute exactly those partitions and no-op the rest, with identical
+    final output."""
+    import json
+    import os
+
+    out = str(tmp_path / "resume")
+    _, stats1 = flagship_pipeline(transcripts_path, out_dir=out, num_partitions=8)
+    from pipeflow_ray.state.manifest import read_committed
+
+    before = read_committed(out).sort_by([("conv_id", "ascending"), ("window_start", "ascending")])
+
+    mdir = os.path.join(out, "_manifests")
+    victims = sorted(os.listdir(mdir))[:2]
+    pids = []
+    for v in victims:
+        with open(os.path.join(mdir, v)) as f:
+            pids.append(json.load(f)["partition_id"])
+        os.remove(os.path.join(mdir, v))
+
+    _, stats2 = flagship_pipeline(transcripts_path, out_dir=out, num_partitions=8)
+    st = stats2.set_index("partition_id")
+    assert not st.loc[pids, "skipped"].any()  # the two wiped ones recomputed
+    assert st.drop(index=pids).skipped.all()  # everything else no-oped
+
+    after = read_committed(out).sort_by([("conv_id", "ascending"), ("window_start", "ascending")])
+    assert after.equals(before)  # byte-identical logical content
