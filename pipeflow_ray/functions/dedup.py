@@ -72,7 +72,10 @@ def _char_shingle_hashes(text: str, k: int) -> np.ndarray:
 
 class MinHasher:
     """Per-batch MinHash signatures (num_perm universal hashes over shingle
-    hashes). Permutation coefficients are built once per actor."""
+    hashes). Permutation coefficients are built once per actor; signatures
+    for a whole batch are computed in ONE vectorized pass — all docs' shingle
+    hashes concatenated, one (num_perm × total_shingles) universal hash, then
+    a per-doc segmented min via ``np.minimum.reduceat``."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  num_perm: int = 64, k: int = 5, seed: int = 42):
@@ -83,14 +86,23 @@ class MinHasher:
 
     def signature(self, text: str) -> np.ndarray:
         s = _char_shingle_hashes(text, self.k)
-        # (num_perm, n_shingles) universal hash, min over shingles
         v = (self.a[:, None] * s[None, :] + self.b[:, None]) % _MERSENNE
         return v.min(axis=1)
+
+    def signatures(self, texts: list) -> np.ndarray:
+        shingles = [_char_shingle_hashes(x or "", self.k) for x in texts]
+        lens = np.array([len(s) for s in shingles])
+        flat = np.concatenate(shingles) if shingles else np.array([], np.uint64)
+        v = (self.a[:, None] * flat[None, :] + self.b[:, None]) % _MERSENNE
+        starts = np.zeros(len(lens), dtype=np.int64)
+        starts[1:] = np.cumsum(lens)[:-1]
+        # segmented min per doc, all permutations at once → (num_perm, n_docs)
+        return np.minimum.reduceat(v, starts, axis=1).T
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t[self.text_col].to_pylist()
         ids = t[self.id_col].to_numpy(zero_copy_only=False)
-        sigs = np.stack([self.signature(x or "") for x in texts])
+        sigs = self.signatures(texts)
         return pa.table(
             {
                 self.id_col: pa.array(ids),
@@ -113,13 +125,19 @@ def minhash_lsh_candidates(
     band bucket; each bucket yields its within-bucket pairs. Pairs are
     deduped across bands by a final distinct.
     """
-    rows_per_band = num_perm // bands
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_args=(text_col, id_col, num_perm, k),
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+    return _candidates_from_sigs(sigs, id_col, num_perm, bands)
+
+
+def _candidates_from_sigs(
+    sigs: ray.data.Dataset, id_col: str, num_perm: int, bands: int
+) -> ray.data.Dataset:
+    rows_per_band = num_perm // bands
 
     def _bands(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -181,6 +199,7 @@ def verify_jaccard(
     locally. (At full scale this becomes a hash-join of pairs against docs —
     the broadcast form is the small-candidate fast path.)
     """
+    pairs = pairs.materialize()  # consumed twice (id collection + verify map): execute once
     cand_ids = set()
     for b in pairs.iter_batches(batch_format="pyarrow"):
         cand_ids.update(b["id_a"].to_pylist())
@@ -221,6 +240,42 @@ def verify_jaccard(
     return pairs.map_batches(_Verify, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def estimate_filter_pairs(
+    pairs: ray.data.Dataset,
+    sigs: ray.data.Dataset,
+    threshold: float,
+    id_col: str = "doc_id",
+    margin: float = 0.18,
+) -> ray.data.Dataset:
+    """Cheap signature-agreement Jaccard estimate per candidate pair; keeps
+    pairs with est ≥ threshold − margin (margin ≈ 3σ of the 64-perm
+    estimator) so the expensive exact verification only touches plausible
+    pairs. Signatures are broadcast once (num_docs × num_perm × 8 B — the
+    small side; at larger corpora this becomes a hash join on id)."""
+    sig_rows = {}
+    for b in sigs.iter_batches(batch_format="pyarrow"):
+        for i, s in zip(b[id_col].to_pylist(), b["sig"].to_pylist()):
+            sig_rows[i] = np.asarray(s, dtype=np.uint64)
+    ref = ray.put(sig_rows)
+    cutoff = threshold - margin
+
+    class _Est:
+        def __init__(self):
+            self.sigs = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = t["id_a"].to_pylist()
+            b = t["id_b"].to_pylist()
+            if not a:
+                return t
+            sa = np.stack([self.sigs[i] for i in a])
+            sb = np.stack([self.sigs[i] for i in b])
+            est = (sa == sb).mean(axis=1)
+            return t.filter(pa.array(est >= cutoff))
+
+    return pairs.map_batches(_Est, batch_format="pyarrow", concurrency=(1, 8))
+
+
 def minhash_dedup_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.8,
@@ -228,9 +283,19 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     **kw,
 ) -> ray.data.Dataset:
-    """Full near-dup pipeline: candidates → verified pairs above *threshold*."""
-    cands = minhash_lsh_candidates(ds, text_col, id_col, **kw)
-    return verify_jaccard(cands, ds, threshold, text_col, id_col, k=kw.get("k", 5))
+    """Full near-dup pipeline: signatures (once) → banded LSH candidates →
+    signature-estimate pre-filter → exact-Jaccard verified pairs ≥ threshold."""
+    num_perm = kw.get("num_perm", 64)
+    k = kw.get("k", 5)
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_args=(text_col, id_col, num_perm, k),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).materialize()
+    cands = _candidates_from_sigs(sigs, id_col, num_perm, kw.get("bands", 16))
+    plausible = estimate_filter_pairs(cands, sigs, threshold, id_col)
+    return verify_jaccard(plausible, ds, threshold, text_col, id_col, k=k)
 
 
 # ---------------------------------------------------------------------------

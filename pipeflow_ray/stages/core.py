@@ -102,17 +102,53 @@ def grouped_by_bucket(
     fn,
     num_buckets: int = DEFAULT_BUCKETS,
     batch_format: str = "pandas",
+    engine: str = "exchange",
 ):
     """Keyed grouped processing WITHOUT per-key Python overhead.
 
     ``groupby(key).map_groups`` invokes the UDF once per key — death by a
     thousand calls when keys are numerous and small (3.7k conversations ≈
-    3.7k pandas constructions). Instead we co-locate keys by hash bucket
-    (``groupby(hash(key) % B)``) and hand the UDF a whole bucket: *fn* must
-    be key-aware (vectorized over multiple keys — sort by key, segment by
-    boundaries), and in exchange runs ~B times total. Same shuffle volume,
-    ~key_count/B × less invocation overhead. B ≈ 2-4× total cores.
+    3.7k pandas constructions). Instead we co-locate keys by hash bucket and
+    hand the UDF a whole bucket: *fn* must be key-aware (vectorized over
+    multiple keys — sort by key, segment by boundaries), and in exchange runs
+    ~B times total. B ≈ 2-4× total cores.
+
+    engine="exchange" (default) routes the all-to-all through
+    :func:`hash_exchange` (raw-Ray map-side split — no sort barrier; measured
+    ~2-4× faster and scales with workers). The upstream plan executes at this
+    point (a shuffle is a stage barrier); the result is a new lazy Dataset
+    over the reduce outputs. engine="groupby" keeps everything inside one
+    lazy Ray Data plan (``groupby(bucket).map_groups``) at the cost of the
+    sort-based shuffle.
     """
+    if engine == "exchange":
+        import ray as _ray
+        import ray.data as _rd
+
+        buckets = hash_exchange(ds, key_cols, num_buckets)
+        as_pandas = batch_format == "pandas"
+
+        @_ray.remote
+        def _reduce(*slices):
+            slices = [t for t in slices if t.num_rows]
+            if not slices:
+                return None
+            t = pa.concat_tables(slices, promote_options="default")
+            if as_pandas:
+                out = fn(t.to_pandas())
+                return pa.Table.from_pandas(out, preserve_index=False)
+            return fn(t)
+
+        @_ray.remote
+        def _nrows(t) -> int:
+            return 0 if t is None else t.num_rows
+
+        outs = [_reduce.remote(*b) for b in buckets]
+        counts = _ray.get([_nrows.remote(o) for o in outs])  # refs only; no driver materialization
+        refs = [o for o, n in zip(outs, counts) if n > 0]
+        if not refs:
+            return _rd.from_items([])
+        return _rd.from_arrow_refs(refs)
 
     ds = ds.map_batches(add_bucket_column(key_cols, num_buckets), batch_format="pyarrow")
 
