@@ -302,9 +302,20 @@ class Pipeline:
             return pa.table({})
         return pa.concat_tables(tables, promote_options="permissive")
 
-    def first(self) -> dict | None:
+    def first(self) -> dict:
+        """Reference ``First`` (``Pipeline.cs:170-178``): raises on empty."""
         rows = self._ds.take(1)
-        return rows[0] if rows else None
+        if not rows:
+            raise ValueError("sequence contains no elements")
+        return rows[0]
+
+    def first_or_default(self, default=None):
+        rows = self._ds.take(1)
+        return rows[0] if rows else default
+
+    def sample(self, fraction: float, seed: int | None = None) -> "Pipeline":
+        """Random sample (SURVEY §2.9; not in the reference — scale addition)."""
+        return self._chain(self._ds.random_sample(fraction, seed=seed))
 
     def count(self) -> int:
         return self._ds.count()
