@@ -699,7 +699,27 @@ def ann_topk(sf_dir):
 
 # --- non-SQL-expressible ops: registered without oracles (rows-only check) ---
 
-@q("lang_id_docs")
+_LANG_SQL_VOTES = {
+    lang: f"length(regexp_extract_all(coalesce(text, ''), '(?i)\\b(?:{'|'.join(ws)})\\b'))"
+    for lang, ws in __import__('pipeflow_ray.functions.text', fromlist=['_STOPWORDS'])._STOPWORDS.items()
+}
+
+@q(
+    "lang_id_docs",
+    f"""SELECT doc_id,
+           CASE
+             WHEN {_LANG_SQL_VOTES['en']} = 0 AND {_LANG_SQL_VOTES['de']} = 0
+                  AND {_LANG_SQL_VOTES['fr']} = 0 AND {_LANG_SQL_VOTES['es']} = 0 THEN 'und'
+             WHEN {_LANG_SQL_VOTES['en']} >= {_LANG_SQL_VOTES['de']}
+                  AND {_LANG_SQL_VOTES['en']} >= {_LANG_SQL_VOTES['fr']}
+                  AND {_LANG_SQL_VOTES['en']} >= {_LANG_SQL_VOTES['es']} THEN 'en'
+             WHEN {_LANG_SQL_VOTES['de']} >= {_LANG_SQL_VOTES['fr']}
+                  AND {_LANG_SQL_VOTES['de']} >= {_LANG_SQL_VOTES['es']} THEN 'de'
+             WHEN {_LANG_SQL_VOTES['fr']} >= {_LANG_SQL_VOTES['es']} THEN 'fr'
+             ELSE 'es'
+           END AS lang_pred
+        FROM documents""",
+)
 def lang_id_docs(sf_dir):
     from pipeflow_ray.functions.text import LangId
 
@@ -709,7 +729,31 @@ def lang_id_docs(sf_dir):
     )
 
 
-@q("quality_docs")
+_QUAL_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(coalesce(text, '')) AS DOUBLE) AS nc,
+         CAST(length(regexp_extract_all(coalesce(text, ''), '[A-Za-z]')) AS DOUBLE) AS na,
+         CAST(length(regexp_extract_all(coalesce(text, ''), '[^\\w\\s]')) AS DOUBLE) AS np,
+         CAST(length(regexp_extract_all(coalesce(text, ''), '\\S+')) AS DOUBLE) AS nt,
+         CAST(length(regexp_extract_all(coalesce(text, ''),
+              '(?i)\\b(?:the|and|of|to|in|is|that|for|with)\\b')) AS DOUBLE) AS ns
+  FROM documents),
+ r AS (
+  SELECT doc_id,
+         na / greatest(nc, 1.0) AS alpha_ratio,
+         np / greatest(nc, 1.0) AS punct_ratio,
+         ns / greatest(nt, 1.0) AS stopword_ratio,
+         least(nc / 500.0, 1.0) AS len_score,
+         nc
+  FROM c)
+SELECT doc_id, alpha_ratio, stopword_ratio,
+       ((alpha_ratio * 0.4 + len_score * 0.3) +
+        (least(stopword_ratio * 3.0, 1.0) * 0.2 +
+         (1.0 - least(punct_ratio * 2.0, 1.0)) * 0.1)) * least(nc, 1.0) AS quality
+FROM r"""
+
+@q("quality_docs", _QUAL_SQL)
 def quality_docs(sf_dir):
     from pipeflow_ray.functions.text import QualityScore
 

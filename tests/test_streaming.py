@@ -155,3 +155,36 @@ def test_flagship_resume_recomputes_only_missing(transcripts_path, tmp_path):
 
     after = read_committed(out).sort_by([("conv_id", "ascending"), ("window_start", "ascending")])
     assert after.equals(before)  # byte-identical logical content
+
+
+def test_streaming_tumbling_equals_batch(transcripts_path):
+    """Streaming tumbling windows (watermark finalization, generous lateness)
+    must equal the batch tumbling aggregate."""
+    from pipeflow_ray.pipelines.streaming import StreamingTumblingRunner
+
+    runner = StreamingTumblingRunner(width_s=3600.0, lateness_s=3 * 3600.0, num_buckets=4)
+    windows, metrics = runner.run(transcripts_path, micro_batch_rows=128)
+    assert metrics["late_rows"] == 0
+    assert windows.n.sum() == metrics["rows"]
+
+    df = pq.read_table(transcripts_path, columns=["conv_id", "text", "ts"]).to_pandas()
+    df["v"] = df.text.fillna("").str.len()
+    df["ws"] = df.ts.astype("datetime64[us]").astype(np.int64) // 3_600_000_000 * 3_600_000_000
+    ref = df.groupby(["conv_id", "ws"]).agg(n=("v", "size"), value_sum=("v", "sum")).reset_index()
+
+    got = windows.sort_values(["key", "window_start_us"]).reset_index(drop=True)
+    ref = ref.sort_values(["conv_id", "ws"]).reset_index(drop=True)
+    assert len(got) == len(ref)
+    assert (got.n.to_numpy() == ref.n.to_numpy()).all()
+    assert (got.value_sum.to_numpy() == ref.value_sum.to_numpy()).all()
+
+
+def test_streaming_tumbling_bounds_state(transcripts_path):
+    """Watermark finalization must keep open-window state small relative to
+    total (key, window) pairs."""
+    from pipeflow_ray.pipelines.streaming import StreamingTumblingRunner, TumblingBucketActor
+
+    runner = StreamingTumblingRunner(width_s=3600.0, lateness_s=600.0, num_buckets=2)
+    windows, metrics = runner.run(transcripts_path, micro_batch_rows=128)
+    # conservation: every on-time row lands in exactly one emitted window
+    assert windows.n.sum() + metrics["late_rows"] == metrics["rows"]
