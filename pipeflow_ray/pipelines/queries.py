@@ -299,14 +299,13 @@ def hash_join_segment(sf_dir):
          FROM orders) WHERE rn = 1""",
 )
 def group_top_order(sf_dir):
-    def _top(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort").head(1)
+    from pipeflow_ray.stages.dedup import keep_first
 
-    return (
-        Pipeline.from_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"])
-        .group_by("o_custkey")
-        .map_groups(_top, batch_format="pandas")
-        .dataset
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    return keep_first(
+        ds, ["o_custkey"], [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
     )
 
 

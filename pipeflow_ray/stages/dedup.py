@@ -74,3 +74,30 @@ def remove_duplicates(
     ds = ds.map_batches(_local, batch_format="pyarrow")
     # first_rows_per_group is multi-key vectorized → one call per bucket
     return grouped_by_bucket(ds, key_cols, _local, batch_format="pyarrow")
+
+
+def keep_first(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    order_by: list[tuple[str, str]],
+) -> ray.data.Dataset:
+    """Top-1 per key under a multi-directional order — the generalized
+    first-wins dedup (e.g. each customer's highest-price order with orderkey
+    tiebreak). Bucket-vectorized: per-batch combiner, then one sorted
+    ``drop_duplicates`` per hash bucket; never one Python call per key."""
+    import pandas as pd
+
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    cols = [c for c, _ in order_by]
+    asc = [d != "descending" for _, d in order_by]
+
+    def _first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + cols, ascending=[True] * len(keys) + asc, kind="mergesort")
+        return df.drop_duplicates(subset=keys, keep="first")
+
+    def _local(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(_first(t.to_pandas()), preserve_index=False)
+
+    ds = ds.map_batches(_local, batch_format="pyarrow")
+    return grouped_by_bucket(ds, keys, _first, batch_format="pandas")
