@@ -184,7 +184,10 @@ def flagship_pipeline(
 
     done = completed_partitions(out_dir)
 
-    @_ray.remote
+    # retry_exceptions: a crashed/failed commit task re-executes; the atomic
+    # manifest commit makes the retry exactly-once (no-op if already committed,
+    # clean overwrite of any partial data file otherwise)
+    @_ray.remote(max_retries=3, retry_exceptions=True)
     def _agg_commit(pid: int, *slices) -> dict:
         return commit_partition(_reduce_table(slices), out_dir, pid,
                                 ts_col="window_start", lineage=lineage)

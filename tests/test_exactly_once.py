@@ -110,3 +110,41 @@ def test_manifest_contents(tmp_path):
     # stats rows reconcile with the files on disk
     f = os.path.join(out, m["file"])
     assert pq.read_metadata(f).num_rows == m["rows"]
+
+
+def test_exactly_once_under_ray_task_retry(tmp_path):
+    """Inject a real task failure: first attempt writes a partial data file
+    then crashes BEFORE the manifest commit; Ray's automatic retry must
+    produce exactly-once output (one manifest, correct rows, no duplicates)."""
+    import ray
+
+    from pipeflow_ray.state.manifest import commit_partition, prepare_sink
+
+    out = str(tmp_path / "retry_out")
+    prepare_sink(out)
+    flag = str(tmp_path / "attempted.flag")
+    t = _input(200)
+
+    @ray.remote(max_retries=3, retry_exceptions=True)
+    def flaky_commit(table, pid):
+        import os
+
+        import pyarrow.parquet as _pq
+
+        if not os.path.exists(flag):
+            open(flag, "w").write("1")
+            # simulate a crash after the data rename but before the manifest
+            _pq.write_table(table, os.path.join(out, f"part-{pid:05d}.parquet"))
+            raise RuntimeError("injected crash before manifest commit")
+        return commit_partition(table, out, pid, ts_col="ts", lineage={"test": "retry"})
+
+    stats = ray.get(flaky_commit.remote(t, 0))
+    assert os.path.exists(flag)  # first attempt really ran and crashed
+    assert stats["skipped"] is False and stats["rows"] == t.num_rows
+
+    back = read_committed(out)
+    assert back.num_rows == t.num_rows  # partial file cleanly overwritten
+    assert len(os.listdir(os.path.join(out, "_manifests"))) == 1
+    # second call (another retry after success) is a pure no-op
+    stats2 = ray.get(flaky_commit.remote(t, 0))
+    assert stats2["skipped"] is True
