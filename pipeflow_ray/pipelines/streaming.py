@@ -62,37 +62,77 @@ class SessionBucketActor:
     only.
     """
 
-    def __init__(self, gap_s: float):
+    def __init__(self, gap_s: float, retain_emissions: bool = False):
         self.gap_us = int(gap_s * US)
-        self.state: dict[str, list] = {}  # conv_id -> [start, end, n_turns, n_chars]
+        # conv_id → sorted DISJOINT open fragments [start, end, n_turns,
+        # n_chars] (pairwise separated by > gap). A list, not a scalar:
+        # fragments may arrive in any order (parallel shard replay delivers a
+        # conversation's later shard before its earlier one), so sessionizing
+        # is interval merging, not append-only extension.
+        self.state: dict[str, list[list]] = {}
+        # retain mode (parallel multi-shard replay): finalized sessions are
+        # buffered in the actor and drained at flush, instead of being
+        # returned to (and possibly dropped by) whichever replayer triggered
+        # the eviction
+        self.retain = retain_emissions
+        self.buf: list[pd.DataFrame] = []
+
+    def _insert(self, conv: str, s: int, e: int, n: int, c: int) -> None:
+        import bisect
+
+        gap = self.gap_us
+        lst = self.state.get(conv)
+        if lst is None:
+            self.state[conv] = [[s, e, n, c]]
+            return
+        i = bisect.bisect_left([f[0] for f in lst], s)
+        lst.insert(i, [s, e, n, c])
+        # one left merge can apply (left-left stays > gap away) …
+        if i > 0 and lst[i][0] - lst[i - 1][1] <= gap:
+            a, b = lst[i - 1], lst[i]
+            a[0] = min(a[0], b[0]); a[1] = max(a[1], b[1]); a[2] += b[2]; a[3] += b[3]
+            lst.pop(i)
+            i -= 1
+        # … then the (possibly grown) fragment may bridge rightwards
+        while i + 1 < len(lst) and lst[i + 1][0] - lst[i][1] <= gap:
+            a, b = lst[i], lst[i + 1]
+            a[0] = min(a[0], b[0]); a[1] = max(a[1], b[1]); a[2] += b[2]; a[3] += b[3]
+            lst.pop(i + 1)
 
     def process(self, frags: pd.DataFrame, watermark_us: int) -> pd.DataFrame:
-        done: list[list] = []
         gap = self.gap_us
-        state = self.state
-        # merge batch fragments into open state, in ts order per conv
         for conv, s, e, n, c in frags.itertuples(index=False, name=None):
-            cur = state.get(conv)
-            if cur is None:
-                state[conv] = [s, e, n, c]
-            elif s - cur[1] <= gap:  # continues the open session (possibly
-                # out-of-order within the lateness horizon → may extend backwards)
-                cur[0] = min(cur[0], s)
-                cur[1] = max(cur[1], e)
-                cur[2] += n
-                cur[3] += c
-            else:  # gap exceeded → previous session closes
-                done.append([conv, *cur])
-                state[conv] = [s, e, n, c]
-        # watermark eviction: open sessions that can no longer grow
-        for conv in [k for k, v in state.items() if v[1] + gap < watermark_us]:
-            done.append([conv, *state.pop(conv)])
-        return self._emit(done)
+            self._insert(conv, s, e, n, c)
+        # watermark eviction: a fragment is final once no non-late row can
+        # reach it (every future row has ts ≥ watermark > end + gap)
+        done: list[list] = []
+        for conv in list(self.state):
+            keep = []
+            for f in self.state[conv]:
+                if f[1] + gap < watermark_us:
+                    done.append([conv, *f])
+                else:
+                    keep.append(f)
+            if keep:
+                self.state[conv] = keep
+            else:
+                del self.state[conv]
+        emitted = self._emit(done)
+        if self.retain:
+            if len(emitted):
+                self.buf.append(emitted)
+            return self._emit([])
+        return emitted
 
     def flush(self) -> pd.DataFrame:
-        done = [[conv, *v] for conv, v in self.state.items()]
+        done = [[conv, *f] for conv, lst in self.state.items() for f in lst]
         self.state.clear()
-        return self._emit(done)
+        final = self._emit(done)
+        if self.retain:
+            parts = [*self.buf, final]
+            self.buf = []
+            return pd.concat(parts, ignore_index=True) if parts else final
+        return final
 
     def state_size(self) -> int:
         return len(self.state)
@@ -316,3 +356,140 @@ class StreamingTumblingRunner:
         metrics = {"rows": n_rows, "late_rows": late_rows, "windows": int(len(windows)),
                    "final_watermark_us": int(watermark_us)}
         return windows, metrics
+
+
+# ---------------------------------------------------------------------------
+# Parallel multi-shard replay with per-shard watermarks (the distributed form)
+# ---------------------------------------------------------------------------
+
+@ray.remote
+class WatermarkActor:
+    """Global low-watermark coordinator: each log shard advances its own
+    watermark (max event time seen − allowed lateness); the GLOBAL watermark
+    is the minimum over all live shards (the classic per-partition watermark
+    rule) — monotonic because each shard's is monotonic and finished shards
+    report +inf."""
+
+    def __init__(self, shard_ids: list):
+        self.marks = {s: -(1 << 62) for s in shard_ids}
+
+    def advance(self, shard, mark_us: int) -> int:
+        if mark_us > self.marks[shard]:
+            self.marks[shard] = mark_us
+        return min(self.marks.values())
+
+    def finish(self, shard) -> int:
+        self.marks[shard] = 1 << 62
+        return min(self.marks.values())
+
+    def global_watermark(self) -> int:
+        return min(self.marks.values())
+
+
+@ray.remote
+def _replay_shard(
+    shard_id: int,
+    path: str,
+    gap_us: int,
+    lateness_us: int,
+    micro_batch_rows: int,
+    wm_actor,
+    session_actors: list,
+):
+    """Sequentially replay ONE shard in its own arrival order, sessionize
+    per micro-batch, route fragments to the shared bucket actors with the
+    current GLOBAL watermark. Returns (rows, late_rows)."""
+    n_rows = 0
+    late_rows = 0
+    num_buckets = len(session_actors)
+    for rb in pq.ParquetFile(path).iter_batches(
+        batch_size=micro_batch_rows, columns=["conv_id", "text", "ts"]
+    ):
+        n_rows += rb.num_rows
+        df = pd.DataFrame(
+            {
+                "conv_id": rb.column("conv_id").to_pandas(),
+                "ts_us": rb.column("ts").cast(pa.int64()).to_pandas(),
+                "n_chars": pd.Series(rb.column("text").to_pandas()).fillna("").str.len(),
+            }
+        )
+        # late is judged against the watermark BEFORE this batch advances it —
+        # a record never makes itself late (watermarks follow the records)
+        prev_global = ray.get(wm_actor.global_watermark.remote())
+        late = df.ts_us < prev_global
+        late_rows += int(late.sum())
+        df = df[~late]
+        if not len(df):
+            continue
+        global_wm = ray.get(
+            wm_actor.advance.remote(shard_id, int(df.ts_us.max()) - lateness_us)
+        )
+        frags = _session_fragments(df, gap_us)
+        bucket = pd.util.hash_array(frags.conv_id.to_numpy(dtype=object)) % num_buckets
+        futs = [
+            session_actors[b].process.remote(frags[bucket == b], global_wm)
+            for b in range(num_buckets)
+            if (bucket == b).any()
+        ]
+        ray.get(futs)  # apply in shard-arrival order
+    ray.get(wm_actor.finish.remote(shard_id))
+    return n_rows, late_rows
+
+
+class ParallelStreamingRunner:
+    """Multi-shard parallel log replay: one replayer task per shard (each
+    preserving its shard's arrival order), a shared watermark actor computing
+    the global min-watermark across shards, and shared per-bucket session
+    state actors with watermark eviction.
+
+    This is the 256-node shape: shards ↔ log partitions, replayers scale with
+    shards, state actors scale with key cardinality, and the min-watermark
+    rule keeps finalization correct regardless of shard skew. Fragment merge
+    handles cross-shard out-of-order arrival within the lateness horizon
+    (sessions may extend backwards); with lateness ≥ total disorder the
+    result equals batch event-time sessionization (tested).
+
+    Late emissions happen inside the actors; the sessions output is collected
+    only after every replayer finished + a final flush.
+    """
+
+    def __init__(self, gap_s: float = 1800.0, lateness_s: float = 3600.0, num_buckets: int = 8):
+        self.gap_us = int(gap_s * US)
+        self.gap_s = gap_s
+        self.lateness_us = int(lateness_s * US)
+        self.num_buckets = num_buckets
+
+    def run(self, parquet_dir: str, micro_batch_rows: int = 65_536):
+        import os
+
+        files = sorted(
+            os.path.join(parquet_dir, f)
+            for f in os.listdir(parquet_dir)
+            if f.endswith(".parquet")
+        ) if os.path.isdir(parquet_dir) else [parquet_dir]
+
+        actors = [
+            SessionBucketActor.remote(self.gap_s, retain_emissions=True)
+            for _ in range(self.num_buckets)
+        ]
+        wm = WatermarkActor.remote(list(range(len(files))))
+        results = ray.get([
+            _replay_shard.remote(i, fp, self.gap_us, self.lateness_us,
+                                 micro_batch_rows, wm, actors)
+            for i, fp in enumerate(files)
+        ])
+        # actors run in retain mode: finalized sessions buffer inside each
+        # actor and drain here in one flush (replayers never see emissions)
+        out = [f for f in ray.get([a.flush.remote() for a in actors]) if len(f)]
+        sessions = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            columns=["conv_id", "start_us", "end_us", "n_turns", "n_chars"]
+        )
+        sessions["session_start"] = pd.to_datetime(sessions.start_us, unit="us")
+        sessions["session_end"] = pd.to_datetime(sessions.end_us, unit="us")
+        metrics = {
+            "rows": sum(r for r, _ in results),
+            "late_rows": sum(l for _, l in results),
+            "shards": len(files),
+            "sessions": int(len(sessions)),
+        }
+        return sessions.drop(columns=["start_us", "end_us"]), metrics

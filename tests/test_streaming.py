@@ -188,3 +188,52 @@ def test_streaming_tumbling_bounds_state(transcripts_path):
     windows, metrics = runner.run(transcripts_path, micro_batch_rows=128)
     # conservation: every on-time row lands in exactly one emitted window
     assert windows.n.sum() + metrics["late_rows"] == metrics["rows"]
+
+
+def test_parallel_multishard_replay_equals_batch(tmp_path):
+    """Parallel per-shard replay + global min-watermark must equal batch
+    event-time sessionization when lateness covers total disorder."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from pipeflow_ray.fixtures import gen_transcripts
+    from pipeflow_ray.pipelines.streaming import ParallelStreamingRunner
+
+    t = gen_transcripts(4000)
+    shard_dir = str(tmp_path / "shards")
+    os.makedirs(shard_dir)
+    n_shards = 5
+    rows_per = (t.num_rows + n_shards - 1) // n_shards
+    for k in range(n_shards):
+        _pq.write_table(t.slice(k * rows_per, rows_per),
+                        os.path.join(shard_dir, f"part-{k:05d}.parquet"))
+    single = str(tmp_path / "single.parquet")
+    _pq.write_table(t, single)
+
+    runner = ParallelStreamingRunner(gap_s=1800.0, lateness_s=6 * 3600.0, num_buckets=4)
+    sessions, metrics = runner.run(shard_dir, micro_batch_rows=256)
+    assert metrics["shards"] == 5 and metrics["late_rows"] == 0
+    assert metrics["rows"] == t.num_rows
+
+    got = (
+        sessions[["conv_id", "session_start", "session_end", "n_turns", "n_chars"]]
+        .sort_values(["conv_id", "session_start"]).reset_index(drop=True)
+    )
+    ref = _batch_oracle_sessions(single, 1800.0)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_parallel_replay_watermark_is_min_over_shards():
+    """The global watermark must not pass any shard's local watermark."""
+    import ray as _ray
+
+    from pipeflow_ray.pipelines.streaming import WatermarkActor
+
+    wm = WatermarkActor.remote([0, 1, 2])
+    assert _ray.get(wm.advance.remote(0, 1000)) < 0  # others still at -inf
+    _ray.get(wm.advance.remote(1, 500))
+    g = _ray.get(wm.advance.remote(2, 2000))
+    assert g == 500  # min rule
+    g = _ray.get(wm.finish.remote(1))
+    assert g == 1000  # finished shard no longer holds the watermark back
