@@ -811,3 +811,58 @@ def flagship(sf_dir):
     from pipeflow_ray.pipelines.flagship import flagship_pipeline
 
     return flagship_pipeline(_tp(sf_dir))
+
+
+@q(
+    "asof_join_events",
+    """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE value >= 0.5),
+           r0 AS (SELECT user_id, ts, event_id, value,
+                         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+                  FROM events WHERE value < 0.5),
+           r AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM r0 WHERE rn = 1)
+       SELECT l.event_id, l.user_id, CAST(l.tus AS BIGINT) AS ts_us,
+              r.event_id AS prior_event_id,
+              CAST(floor(r.value * 1000000) AS BIGINT) AS prior_value_micro
+       FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus""",
+)
+def asof_join_events(sf_dir):
+    """As-of join: each high-value event matched to the same user's most
+    recent prior low-value event (inner: unmatched left rows dropped)."""
+    from pipeflow_ray.stages.dedup import keep_first
+    from pipeflow_ray.stages.join import asof_join
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "value": t["value"],
+            }
+        )
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    ev = ev.map_batches(_prep, batch_format="pyarrow")
+    left = ev.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["value"], 0.5)).drop_columns(["value"]),
+        batch_format="pyarrow",
+    )
+    right = ev.map_batches(
+        lambda t: t.filter(pc.less(t["value"], 0.5)), batch_format="pyarrow"
+    )
+    right = keep_first(right, ["user_id", "ts_us"], [("event_id", "ascending")])
+    joined = asof_join(left, right, key="user_id", ts_col="ts_us", num_buckets=32)
+
+    def _fmt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["event_id_r"]))  # inner semantics
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "user_id": t["user_id"],
+                "ts_us": t["ts_us"],
+                "prior_event_id": t["event_id_r"].cast(pa.int64()),
+                "prior_value_micro": pc.floor(pc.multiply(t["value"], 1_000_000.0)).cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(_fmt, batch_format="pyarrow")

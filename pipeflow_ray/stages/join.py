@@ -119,3 +119,64 @@ def hash_join(
     if hasattr(left, "join"):
         return left.join(right, join_type=how, num_partitions=num_partitions, on=on_cols)
     raise NotImplementedError("ray.data.Dataset.join unavailable in this Ray version")
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    ts_col: str = "ts",
+    direction: str = "backward",
+    suffix: str = "_r",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """As-of join: for each left row, the nearest right row with the same key
+    and ``right.ts <= left.ts`` (backward; 'forward' for >=).
+
+    Realization: both sides hash-bucketed on the key into the SAME bucket
+    space (one co-partitioning pass each), then a vectorized
+    ``pandas.merge_asof`` per bucket — the composition rule from the custom
+    -operator guidance (sort + per-bucket kernel). Partitioning assumption:
+    each key's rows fit one bucket worker.
+    """
+    import numpy as np
+
+    from pipeflow_ray.stages.core import hash_exchange
+
+    lb = hash_exchange(left, [key], num_buckets)
+    rb = hash_exchange(right, [key], num_buckets)
+
+    import ray as _ray
+
+    @_ray.remote
+    def _merge(n_left, *slices):
+        # refs must be top-level args for Ray to resolve them; n_left splits
+        # the flat slice list back into the two sides
+        l_slices, r_slices = slices[:n_left], slices[n_left:]
+        ls = [t for t in l_slices if t.num_rows]
+        rs = [t for t in r_slices if t.num_rows]
+        if not ls:
+            return None
+        ldf = pa.concat_tables(ls).to_pandas().sort_values(ts_col, kind="mergesort")
+        if rs:
+            rdf = pa.concat_tables(rs).to_pandas().sort_values(ts_col, kind="mergesort")
+        else:
+            # no right rows in this bucket: an empty slice still carries the
+            # full right schema → merge yields all-null right columns (stable
+            # schema across buckets)
+            rdf = r_slices[0].to_pandas()
+        out = pd.merge_asof(
+            ldf, rdf, on=ts_col, by=key, direction=direction, suffixes=("", suffix)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    @_ray.remote
+    def _nrows(t):
+        return 0 if t is None else t.num_rows
+
+    outs = [_merge.remote(len(l), *l, *r) for l, r in zip(lb, rb)]
+    counts = _ray.get([_nrows.remote(o) for o in outs])
+    refs = [o for o, n in zip(outs, counts) if n > 0]
+    import ray.data as _rd
+
+    return _rd.from_arrow_refs(refs) if refs else _rd.from_items([])

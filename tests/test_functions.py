@@ -159,3 +159,22 @@ def test_multimodal_unknown_format_raises():
 
     with pytest.raises(ValueError, match="unknown image format"):
         DecodeImages()(pa.table({"payload": [b"JUNKDATA" * 4]}))
+
+
+def test_hyperloglog_accuracy():
+    from pipeflow_ray.functions.sketches import approx_distinct
+
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey"])
+    est = approx_distinct(orders, "o_custkey", p=12)
+    exact = len(pq.read_table(f"{SF}/orders.parquet", columns=["o_custkey"]).column(0).unique())
+    assert abs(est - exact) / exact < 0.05  # p=12 → ~1.6% std error
+
+
+def test_detect_hot_keys():
+    from pipeflow_ray.fixtures import gen_transcripts
+    from pipeflow_ray.functions.sketches import detect_hot_keys
+
+    t = gen_transcripts(10_000)
+    hot = detect_hot_keys(ray.data.from_arrow(t), "conv_id", top_k=5)
+    assert hot.key.iloc[0] == "conv_00000000"  # the planted hot conversation
+    assert hot.approx_count.iloc[0] == (pd.Series(t["conv_id"].to_pylist()) == "conv_00000000").sum()

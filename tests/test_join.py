@@ -75,3 +75,34 @@ def test_hash_join_large_sides():
     out = hash_join(left, right, on="k", num_partitions=4).to_pandas()
     assert len(out) == 250
     assert (out.r == out.k * 3).all() and (out.l == out.k * 2).all()
+
+
+def test_asof_join_matches_merge_asof_oracle():
+    import numpy as np
+
+    from pipeflow_ray.stages.join import asof_join
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    left = pd.DataFrame({
+        "k": rng.integers(0, 20, n).astype(str),
+        "ts": np.sort(rng.integers(0, 10_000, n)).astype("int64"),
+        "lv": np.arange(n),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 20, n).astype(str),
+        "ts": np.sort(rng.integers(0, 10_000, n)).astype("int64"),
+        "rv": np.arange(n) * 10,
+    }).drop_duplicates(["k", "ts"])
+
+    got = (
+        asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right), key="k", ts_col="ts", num_buckets=8)
+        .to_pandas().sort_values(["k", "ts", "lv"]).reset_index(drop=True)
+    )
+    ref = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts", by="k", suffixes=("", "_r"),
+    ).sort_values(["k", "ts", "lv"]).reset_index(drop=True)
+    assert len(got) == len(ref)
+    pd.testing.assert_series_equal(got.rv.fillna(-1), ref.rv.fillna(-1), check_dtype=False)
