@@ -137,6 +137,30 @@ class SessionBucketActor:
     def state_size(self) -> int:
         return len(self.state)
 
+    # --- checkpoint support (CheckpointingSessionRunner) ---
+
+    def drain(self) -> pd.DataFrame:
+        """Hand over buffered finalized sessions (retain mode) WITHOUT
+        touching open state — the emission half of a checkpoint barrier."""
+        parts = self.buf
+        self.buf = []
+        return pd.concat(parts, ignore_index=True) if parts else self._emit([])
+
+    def dump_state(self) -> pd.DataFrame:
+        """Snapshot open fragments (checkpoint state half)."""
+        rows = [[conv, *f] for conv, lst in self.state.items() for f in lst]
+        return self._emit(rows)
+
+    def load_state(self, df: pd.DataFrame) -> None:
+        """Restore a snapshot (resume). Replaces current state."""
+        self.state = {}
+        for conv, s, e, n, c in df[["conv_id", "start_us", "end_us", "n_turns", "n_chars"]].itertuples(
+            index=False, name=None
+        ):
+            self.state.setdefault(conv, []).append([int(s), int(e), int(n), int(c)])
+        for lst in self.state.values():
+            lst.sort(key=lambda f: f[0])
+
     @staticmethod
     def _emit(done: list[list]) -> pd.DataFrame:
         return pd.DataFrame(
@@ -493,3 +517,162 @@ class ParallelStreamingRunner:
             "sessions": int(len(sessions)),
         }
         return sessions.drop(columns=["start_us", "end_us"]), metrics
+
+
+# ---------------------------------------------------------------------------
+# Mid-stream checkpoint / resume (exactly-once streaming output)
+# ---------------------------------------------------------------------------
+
+def _actor_dump(actor) -> pd.DataFrame:
+    return ray.get(actor.dump_state.remote())
+
+
+class CheckpointingSessionRunner(StreamingSessionRunner):
+    """Streaming sessionization with periodic consistent checkpoints and
+    exactly-once output, resumable mid-stream.
+
+    Every ``checkpoint_every`` micro-batches the runner takes a barrier:
+    1. drains each bucket actor's buffered finalized sessions and commits
+       them as one atomically-manifested partition (``state.manifest``);
+    2. snapshots open per-conversation state + the replay position
+       (micro-batch index, watermark, late count) to a checkpoint record
+       (parquet + json, atomic rename).
+
+    Crash recovery: emissions since the last checkpoint were only buffered in
+    actors (never persisted) — resume restores actor state + offset from the
+    checkpoint and recomputes exactly the lost span, so committed output has
+    no duplicates and no gaps (tested: killed run + resume ≡ uninterrupted
+    run ≡ batch oracle).
+    """
+
+    def run(  # noqa: C901 - checkpoint state machine
+        self,
+        parquet_path: str,
+        out_dir: str,
+        micro_batch_rows: int = 65_536,
+        checkpoint_every: int = 10,
+        stop_after_batches: int | None = None,  # crash-injection hook (tests)
+    ):
+        import json
+        import os
+
+        from pipeflow_ray.state.manifest import commit_partition, prepare_sink
+
+        prepare_sink(out_dir)
+        ck_dir = os.path.join(out_dir, "_checkpoints")
+        os.makedirs(ck_dir, exist_ok=True)
+        ck_json = os.path.join(ck_dir, "latest.json")
+
+        actors = [
+            SessionBucketActor.remote(self.gap_s, retain_emissions=True)
+            for _ in range(self.num_buckets)
+        ]
+
+        start_batch = 0
+        watermark_us = -(1 << 62)
+        late_rows = 0
+        commit_seq = 0
+        if os.path.exists(ck_json):
+            with open(ck_json) as f:
+                ck = json.load(f)
+            start_batch = ck["next_batch"]
+            watermark_us = ck["watermark_us"]
+            late_rows = ck["late_rows"]
+            commit_seq = ck["commit_seq"]
+            state_df = pd.read_parquet(os.path.join(ck_dir, ck["state_file"]))
+            bucket = pd.util.hash_array(state_df.conv_id.to_numpy(dtype=object)) % self.num_buckets
+            ray.get([
+                actors[b].load_state.remote(state_df[bucket == b])
+                for b in range(self.num_buckets)
+            ])
+
+        def _commit_drained(seq: int) -> int:
+            parts = [p for p in ray.get([a.drain.remote() for a in actors]) if len(p)]
+            body = (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame(columns=["conv_id", "start_us", "end_us", "n_turns", "n_chars"])
+            )
+            commit_partition(
+                pa.Table.from_pandas(body, preserve_index=False),
+                out_dir, seq, ts_col=None,
+                lineage={"input": parquet_path, "kind": "stream-checkpoint", "seq": seq},
+            )
+            return seq + 1
+
+        def _checkpoint(next_batch: int) -> None:
+            states = pd.concat(
+                [s for s in ray.get([a.dump_state.remote() for a in actors])],
+                ignore_index=True,
+            )
+            state_file = f"state-{next_batch:08d}.parquet"
+            tmp = os.path.join(ck_dir, state_file + ".tmp")
+            states.to_parquet(tmp)
+            os.replace(tmp, os.path.join(ck_dir, state_file))
+            rec = {"next_batch": next_batch, "watermark_us": watermark_us,
+                   "late_rows": late_rows, "commit_seq": commit_seq,
+                   "state_file": state_file}
+            tmpj = ck_json + ".tmp"
+            with open(tmpj, "w") as f:
+                json.dump(rec, f)
+            os.replace(tmpj, ck_json)  # atomic: checkpoint becomes visible
+
+        if os.path.isdir(parquet_path):
+            files = sorted(
+                os.path.join(parquet_path, f)
+                for f in os.listdir(parquet_path) if f.endswith(".parquet")
+            )
+        else:
+            files = [parquet_path]
+
+        def _batches():
+            for fp in files:
+                yield from pq.ParquetFile(fp).iter_batches(
+                    batch_size=micro_batch_rows, columns=["conv_id", "text", "ts"]
+                )
+
+        n_rows = 0
+        idx = -1
+        for idx, rb in enumerate(_batches()):
+            if idx < start_batch:
+                continue  # already covered by the checkpoint we resumed from
+            if stop_after_batches is not None and idx >= start_batch + stop_after_batches:
+                return None  # simulated crash: no flush, no checkpoint
+            n_rows += rb.num_rows
+            df = pd.DataFrame(
+                {
+                    "conv_id": rb.column("conv_id").to_pandas(),
+                    "ts_us": rb.column("ts").cast(pa.int64()).to_pandas(),
+                    "n_chars": pd.Series(rb.column("text").to_pandas()).fillna("").str.len(),
+                }
+            )
+            late = df.ts_us < watermark_us
+            late_rows += int(late.sum())
+            df = df[~late]
+            if len(df):
+                watermark_us = max(watermark_us, int(df.ts_us.max()) - self.lateness_us)
+                frags = _session_fragments(df, int(self.gap_s * US))
+                bucket = pd.util.hash_array(frags.conv_id.to_numpy(dtype=object)) % self.num_buckets
+                ray.get([
+                    actors[b].process.remote(frags[bucket == b], watermark_us)
+                    for b in range(self.num_buckets)
+                    if (bucket == b).any()
+                ])
+            if (idx + 1 - start_batch) % checkpoint_every == 0:
+                commit_seq = _commit_drained(commit_seq)
+                _checkpoint(idx + 1)
+
+        # end of stream: flush open state, commit the final partition
+        parts = [p for p in ray.get([a.flush.remote() for a in actors]) if len(p)]
+        body = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame(columns=["conv_id", "start_us", "end_us", "n_turns", "n_chars"])
+        )
+        commit_partition(
+            pa.Table.from_pandas(body, preserve_index=False), out_dir, commit_seq,
+            ts_col=None, lineage={"input": parquet_path, "kind": "stream-final"},
+        )
+        _checkpoint(idx + 1)
+        return {"late_rows": late_rows, "final_watermark_us": int(watermark_us),
+                "partitions": commit_seq + 1}

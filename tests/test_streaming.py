@@ -237,3 +237,44 @@ def test_parallel_replay_watermark_is_min_over_shards():
     assert g == 500  # min rule
     g = _ray.get(wm.finish.remote(1))
     assert g == 1000  # finished shard no longer holds the watermark back
+
+
+def test_checkpoint_resume_midstream_exactly_once(transcripts_path, tmp_path):
+    """Kill the streaming job mid-stream (after 7 of ~20 micro-batches), then
+    resume from the checkpoint: committed output must equal an uninterrupted
+    run AND the batch oracle — no duplicates, no gaps."""
+    from pipeflow_ray.pipelines.streaming import CheckpointingSessionRunner
+    from pipeflow_ray.state.manifest import read_committed
+
+    kw = dict(micro_batch_rows=64, checkpoint_every=3)  # ~16 micro-batches
+
+    # uninterrupted reference run
+    full_dir = str(tmp_path / "full")
+    r1 = CheckpointingSessionRunner(gap_s=1800.0, lateness_s=3 * 3600.0, num_buckets=4)
+    m_full = r1.run(transcripts_path, full_dir, **kw)
+    assert m_full is not None
+    full = read_committed(full_dir).to_pandas().sort_values(
+        ["conv_id", "start_us"]).reset_index(drop=True)
+
+    # crashed run: stops after 7 batches, no final flush
+    crash_dir = str(tmp_path / "crash")
+    r2 = CheckpointingSessionRunner(gap_s=1800.0, lateness_s=3 * 3600.0, num_buckets=4)
+    assert r2.run(transcripts_path, crash_dir, stop_after_batches=7, **kw) is None
+
+    # resume from the surviving checkpoint → completes
+    r3 = CheckpointingSessionRunner(gap_s=1800.0, lateness_s=3 * 3600.0, num_buckets=4)
+    m_res = r3.run(transcripts_path, crash_dir, **kw)
+    assert m_res is not None
+    resumed = read_committed(crash_dir).to_pandas().sort_values(
+        ["conv_id", "start_us"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(resumed, full)
+
+    # and both equal the event-time batch oracle
+    ref = _batch_oracle_sessions(transcripts_path, 1800.0)
+    got = resumed.copy()
+    got["session_start"] = pd.to_datetime(got.start_us, unit="us")
+    got["session_end"] = pd.to_datetime(got.end_us, unit="us")
+    got = got[["conv_id", "session_start", "session_end", "n_turns", "n_chars"]]
+    got = got.sort_values(["conv_id", "session_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
