@@ -24,7 +24,6 @@ they land in the ``late`` side output (reference has no late-data concept;
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq

@@ -139,8 +139,6 @@ def asof_join(
     -operator guidance (sort + per-bucket kernel). Partitioning assumption:
     each key's rows fit one bucket worker.
     """
-    import numpy as np
-
     from pipeflow_ray.stages.core import hash_exchange
 
     lb = hash_exchange(left, [key], num_buckets)
