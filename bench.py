@@ -47,7 +47,8 @@ def _headline(sf_dir: str, out_root: str) -> tuple[float, int]:
     shutil.rmtree(warm_dir, ignore_errors=True)
     flagship_pipeline(ensure_transcripts(0.001), out_dir=warm_dir, num_partitions=8)
     best = float("inf")
-    for _ in range(3):
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+    for _ in range(reps):
         out_dir = os.path.join(out_root, "flagship_out")
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
@@ -149,7 +150,8 @@ def bench_scaling() -> dict:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1",
-                   GRAFT_SF_DIR=sf_dir, PYTHONPATH=REPO, OMP_NUM_THREADS="1")
+                   GRAFT_SF_DIR=sf_dir, PYTHONPATH=REPO, OMP_NUM_THREADS="1",
+                   GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "5"))
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,

@@ -59,8 +59,10 @@ def _base_text(seed: int) -> str:
     return " ".join(words.tolist()) + " "
 
 
-def gen_transcripts(target_turns: int, seed: int = 42) -> pa.Table:
-    """Generate the transcripts table with ~``target_turns`` rows, in arrival order."""
+def _gen_arrays(target_turns: int, seed: int = 42):
+    """Numeric/deterministic core shared by the monolithic and sharded
+    writers: everything except text materialization (the only memory-heavy
+    part). Returns (conv_index, turn_idx, h, ts_us, order, base)."""
     rng = np.random.default_rng(seed)
 
     # --- conversation lengths: zipf-skewed + one guaranteed hot conversation ---
@@ -81,14 +83,6 @@ def gen_transcripts(target_turns: int, seed: int = 42) -> pa.Table:
 
     h = _splitmix64((conv_index * np.int64(1_000_003) + turn_idx).astype(np.uint64))
 
-    # --- roles: even turn → user; odd turn → assistant, occasionally tool ---
-    role = np.where(
-        turn_idx % 2 == 0,
-        "user",
-        np.where(h % np.uint64(8) == 0, "tool", "assistant"),
-    )
-    tool_col = np.where(role == "tool", TOOL_NAMES[(h >> np.uint64(3)) % np.uint64(4)], None)
-
     # --- event time: per-conv monotonic with session-sized gaps ---
     gaps = 1 + ((h >> np.uint64(8)) % np.uint64(240)).astype(np.int64)
     session_break = (h >> np.uint64(16)) % np.uint64(37) == 0
@@ -102,35 +96,44 @@ def gen_transcripts(target_turns: int, seed: int = 42) -> pa.Table:
     conv_start_us = BASE_TS_US + (ch % np.uint64(_SPAN_US)).astype(np.int64)
     ts_us = np.repeat(conv_start_us, lens) + seg * 1_000_000
 
-    # --- text: deterministic slices of a long token soup + edge-case rows ---
-    base = _base_text(seed)
-    max_len = 2000
-    off = (h % np.uint64(len(base) - max_len - 1)).astype(np.int64)
-    ln = 10 + ((h >> np.uint64(32)) % np.uint64(max_len - 10)).astype(np.int64)
-    row_ids = np.arange(n)
-    texts = [base[o : o + l] for o, l in zip(off.tolist(), ln.tolist())]
-    txt = np.array(texts, dtype=object)
-    txt[row_ids % 97 == 13] = ""  # empty strings
-    txt[row_ids % 131 == 5] = "   "  # whitespace-only
-
-    conv_ids = np.char.add("conv_", np.char.zfill(conv_index.astype("U8"), 8))
-
     # --- arrival order: by ts, except ~0.5% late rows displaced 2h later ---
     late = (h % np.uint64(211) == 0) & (turn_idx > 0)
     arrival_key = ts_us + np.where(late, np.int64(2 * 3600 * 1_000_000), 0)
     order = np.argsort(arrival_key, kind="stable")
 
-    table = pa.table(
+    return conv_index, turn_idx, h, ts_us, order, _base_text(seed)
+
+
+def _rows_table(conv_index, turn_idx, h, ts_us, idx, base) -> pa.Table:
+    """Materialize the table for pre-order row ids *idx* (one shard's worth);
+    byte-identical per row regardless of sharding."""
+    hs = h[idx]
+    ti = turn_idx[idx]
+    role = np.where(ti % 2 == 0, "user", np.where(hs % np.uint64(8) == 0, "tool", "assistant"))
+    tool_col = np.where(role == "tool", TOOL_NAMES[(hs >> np.uint64(3)) % np.uint64(4)], None)
+    max_len = 2000
+    off = (hs % np.uint64(len(base) - max_len - 1)).astype(np.int64)
+    ln = 10 + ((hs >> np.uint64(32)) % np.uint64(max_len - 10)).astype(np.int64)
+    txt = np.array([base[o : o + l] for o, l in zip(off.tolist(), ln.tolist())], dtype=object)
+    txt[idx % 97 == 13] = ""  # empty strings (keyed to the pre-order row id)
+    txt[idx % 131 == 5] = "   "  # whitespace-only
+    conv_ids = np.char.add("conv_", np.char.zfill(conv_index[idx].astype("U8"), 8))
+    return pa.table(
         {
-            "conv_id": pa.array(conv_ids[order]),
-            "turn_idx": pa.array(turn_idx[order], type=pa.int32()),
-            "role": pa.array(role[order]),
-            "text": pa.array(txt[order], type=pa.string()),
-            "tool": pa.array(tool_col[order], type=pa.string()),
-            "ts": pa.array(ts_us[order], type=pa.timestamp("us")),
+            "conv_id": pa.array(conv_ids),
+            "turn_idx": pa.array(ti, type=pa.int32()),
+            "role": pa.array(role),
+            "text": pa.array(txt, type=pa.string()),
+            "tool": pa.array(tool_col, type=pa.string()),
+            "ts": pa.array(ts_us[idx], type=pa.timestamp("us")),
         }
     )
-    return table
+
+
+def gen_transcripts(target_turns: int, seed: int = 42) -> pa.Table:
+    """Generate the transcripts table with ~``target_turns`` rows, in arrival order."""
+    conv_index, turn_idx, h, ts_us, order, base = _gen_arrays(target_turns, seed)
+    return _rows_table(conv_index, turn_idx, h, ts_us, order, base)
 
 
 def sf_of_dir(sf_dir: str) -> float:
@@ -159,12 +162,16 @@ def ensure_transcripts(sf_dir_or_sf: str | float, seed: int = 42) -> str:
     if os.path.isdir(path):
         return path
     os.makedirs(out_dir, exist_ok=True)
-    table = gen_transcripts(target, seed=seed)
     tmp = path + f".tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
-    n_shards = max(1, (table.num_rows + ROWS_PER_SHARD - 1) // ROWS_PER_SHARD)
+    # stream shard by shard: only one shard's text strings are ever
+    # materialized (the numeric arrays are cheap even at 10^8 rows)
+    conv_index, turn_idx, h, ts_us, order, base = _gen_arrays(target, seed=seed)
+    n = len(order)
+    n_shards = max(1, (n + ROWS_PER_SHARD - 1) // ROWS_PER_SHARD)
     for k in range(n_shards):
-        shard = table.slice(k * ROWS_PER_SHARD, ROWS_PER_SHARD)
+        idx = order[k * ROWS_PER_SHARD : (k + 1) * ROWS_PER_SHARD]
+        shard = _rows_table(conv_index, turn_idx, h, ts_us, idx, base)
         pq.write_table(shard, os.path.join(tmp, f"part-{k:05d}.parquet"),
                        row_group_size=max(4096, ROWS_PER_SHARD // 4))
     os.replace(tmp, path)
