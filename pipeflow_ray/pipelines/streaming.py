@@ -675,3 +675,135 @@ class CheckpointingSessionRunner(StreamingSessionRunner):
         _checkpoint(idx + 1)
         return {"late_rows": late_rows, "final_watermark_us": int(watermark_us),
                 "partitions": commit_seq + 1}
+
+
+# ---------------------------------------------------------------------------
+# Streaming stateful turn-response join (north rule: user turns joined to
+# matching assistant/tool turns, state held in actor pools)
+# ---------------------------------------------------------------------------
+
+@ray.remote
+class PairJoinActor:
+    """Incremental conv_id-keyed hash join state for one bucket.
+
+    State: ``(conv_id, turn_idx) → (rc, ts_us, n_chars)`` of still-unmatched
+    turns. An incoming turn matches the pending turn at ``turn_idx − 1``
+    (it is the response) and/or parks itself for ``turn_idx + 1`` (it may be
+    the user side of a response that arrives later — arrival order within the
+    lateness horizon is arbitrary). Matched pairs leave the state
+    immediately; unmatched turns are evicted once the watermark passes
+    ``ts + gap`` (no response can still arrive on time).
+    """
+
+    def __init__(self, eviction_gap_s: float = 3600.0):
+        self.gap_us = int(eviction_gap_s * US)
+        self.state: dict[tuple, tuple] = {}  # (conv, idx) -> (rc, ts_us, n_chars)
+        self.buf: list[pd.DataFrame] = []
+
+    def process(self, turns: pd.DataFrame, watermark_us: int) -> int:
+        """*turns*: conv_id, turn_idx, rc (0=user, 1=response, 2=other),
+        ts_us, n_chars — any order within the batch."""
+        state = self.state
+        pairs: list[tuple] = []
+        # deterministic processing order: by (conv, idx)
+        turns = turns.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        for conv, idx, rc, ts, nc in turns.itertuples(index=False, name=None):
+            if rc == 1:  # potential response: match a pending user turn at idx-1
+                prev = state.pop((conv, idx - 1), None)
+                if prev is not None and prev[0] == 0:
+                    pairs.append((conv, idx - 1, prev[1], ts, prev[2], nc))
+                    continue
+                if prev is not None:  # not a user turn — put it back
+                    state[(conv, idx - 1)] = prev
+            if rc == 0:  # user turn: its response may already be parked at idx+1
+                nxt = state.pop((conv, idx + 1), None)
+                if nxt is not None and nxt[0] == 1:
+                    pairs.append((conv, idx, ts, nxt[1], nc, nxt[2]))
+                    continue
+                if nxt is not None:
+                    state[(conv, idx + 1)] = nxt
+            state[(conv, idx)] = (rc, ts, nc)
+        # eviction: a turn whose ts + gap < watermark can no longer pair
+        for k in [k for k, v in state.items() if v[1] + self.gap_us < watermark_us]:
+            del state[k]
+        if pairs:
+            self.buf.append(pd.DataFrame(
+                pairs, columns=["conv_id", "turn_idx", "user_ts_us", "resp_ts_us",
+                                "user_chars", "resp_chars"]))
+        return len(pairs)
+
+    def drain(self) -> pd.DataFrame:
+        parts = self.buf
+        self.buf = []
+        if parts:
+            return pd.concat(parts, ignore_index=True)
+        return pd.DataFrame(columns=["conv_id", "turn_idx", "user_ts_us", "resp_ts_us",
+                                     "user_chars", "resp_chars"])
+
+    def state_size(self) -> int:
+        return len(self.state)
+
+
+class StreamingJoinRunner:
+    """Arrival-order incremental turn-response join over the transcript log:
+    the streaming counterpart of ``stages.join.turn_response_join`` (equal
+    output when eviction_gap covers the stream's disorder — tested)."""
+
+    def __init__(self, lateness_s: float = 3600.0, eviction_gap_s: float | None = None,
+                 num_buckets: int = 8):
+        self.lateness_us = int(lateness_s * US)
+        self.eviction_gap_s = eviction_gap_s if eviction_gap_s is not None else lateness_s
+        self.num_buckets = num_buckets
+
+    def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
+        import os
+
+        import pyarrow.compute as pc
+
+        actors = [PairJoinActor.remote(self.eviction_gap_s) for _ in range(self.num_buckets)]
+        watermark_us = -(1 << 62)
+        n_rows = 0
+
+        files = sorted(
+            os.path.join(parquet_path, f)
+            for f in os.listdir(parquet_path) if f.endswith(".parquet")
+        ) if os.path.isdir(parquet_path) else [parquet_path]
+
+        for fp in files:
+            for rb in pq.ParquetFile(fp).iter_batches(
+                batch_size=micro_batch_rows,
+                columns=["conv_id", "turn_idx", "role", "text", "ts"],
+            ):
+                n_rows += rb.num_rows
+                t = pa.Table.from_batches([rb])
+                role = t["role"]
+                rc = pc.if_else(
+                    pc.equal(role, "user"), pa.scalar(0, pa.int8()),
+                    pc.if_else(pc.is_in(role, value_set=pa.array(["assistant", "tool"])),
+                               pa.scalar(1, pa.int8()), pa.scalar(2, pa.int8())),
+                )
+                df = pd.DataFrame(
+                    {
+                        "conv_id": t["conv_id"].to_pandas(),
+                        "turn_idx": t["turn_idx"].to_pandas().astype("int64"),
+                        "rc": rc.to_pandas(),
+                        "ts_us": t["ts"].cast(pa.int64()).to_pandas(),
+                        "n_chars": t["text"].to_pandas().fillna("").str.len(),
+                    }
+                )
+                watermark_us = max(watermark_us, int(df.ts_us.max()) - self.lateness_us)
+                bucket = pd.util.hash_array(df.conv_id.to_numpy(dtype=object)) % self.num_buckets
+                ray.get([
+                    actors[b].process.remote(df[bucket == b], watermark_us)
+                    for b in range(self.num_buckets) if (bucket == b).any()
+                ])
+
+        parts = [p for p in ray.get([a.drain.remote() for a in actors]) if len(p)]
+        pairs = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame(columns=["conv_id", "turn_idx", "user_ts_us", "resp_ts_us",
+                                       "user_chars", "resp_chars"])
+        )
+        open_state = sum(ray.get([a.state_size.remote() for a in actors]))
+        return pairs, {"rows": n_rows, "pairs": int(len(pairs)), "open_state": open_state}

@@ -278,3 +278,33 @@ def test_checkpoint_resume_midstream_exactly_once(transcripts_path, tmp_path):
     got = got[["conv_id", "session_start", "session_end", "n_turns", "n_chars"]]
     got = got.sort_values(["conv_id", "session_start"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_streaming_join_equals_batch_join(transcripts_path):
+    """Incremental actor-state join must equal the batch turn-response join
+    when the eviction gap covers the stream's disorder."""
+    from pipeflow_ray.pipelines.streaming import StreamingJoinRunner
+    from pipeflow_ray.stages.join import turn_response_join
+
+    runner = StreamingJoinRunner(lateness_s=3 * 3600.0, num_buckets=4)
+    pairs, metrics = runner.run(transcripts_path, micro_batch_rows=128)
+
+    ds = ray.data.read_parquet(transcripts_path)
+    batch = turn_response_join(ds, carry_cols=[]).to_pandas()
+
+    assert metrics["pairs"] == len(batch) > 0
+    got = pairs.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    ref = batch.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (got.conv_id.to_numpy() == ref.conv_id.to_numpy()).all()
+    assert (got.turn_idx.to_numpy() == ref.turn_idx.to_numpy().astype("int64")).all()
+    assert (pd.to_datetime(got.resp_ts_us, unit="us").to_numpy()
+            == ref.response_ts.astype("datetime64[ns]").to_numpy()).all()
+
+
+def test_streaming_join_evicts_unmatched(transcripts_path):
+    """With a small eviction gap the pending-turn state must stay bounded."""
+    from pipeflow_ray.pipelines.streaming import StreamingJoinRunner
+
+    runner = StreamingJoinRunner(lateness_s=600.0, eviction_gap_s=600.0, num_buckets=4)
+    pairs, metrics = runner.run(transcripts_path, micro_batch_rows=128)
+    assert metrics["open_state"] < metrics["rows"] * 0.2  # evicted, not hoarded
