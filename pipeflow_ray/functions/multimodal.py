@@ -97,3 +97,137 @@ def decode_images(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# audio / video payloads (same gated-decode pattern as images)
+# ---------------------------------------------------------------------------
+
+_AMAGIC = b"PFAU"  # synthetic audio: magic, sample_rate, n_samples, int16 PCM
+_VMAGIC = b"PFVI"  # synthetic video: magic, width, height, n_frames, frame bytes
+
+
+def synth_audio_table(n: int, seed: int = 43) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    rates = rng.choice([8000, 16000, 44100], n)
+    payloads = []
+    for i in range(n):
+        ns = int(rng.integers(400, 4000))
+        pcm = (rng.standard_normal(ns) * 3000).astype(np.int16)
+        payloads.append(_AMAGIC + struct.pack("<II", int(rates[i]), ns) + pcm.tobytes())
+    return pa.table(
+        {
+            "audio_id": pa.array(np.arange(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "format": pa.array(["pfau"] * n),
+        }
+    )
+
+
+def synth_video_table(n: int, seed: int = 44) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    payloads = []
+    for i in range(n):
+        w, h, nf = int(rng.integers(8, 32)), int(rng.integers(8, 32)), int(rng.integers(4, 24))
+        frames = rng.integers(0, 256, w * h * nf, dtype=np.uint8).tobytes()
+        payloads.append(_VMAGIC + struct.pack("<III", w, h, nf) + frames)
+    return pa.table(
+        {
+            "video_id": pa.array(np.arange(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "format": pa.array(["pfvi"] * n),
+        }
+    )
+
+
+class ExtractAudioFeatures:
+    """Actor-pool stage: decode audio → (sample_rate, duration_s, rms).
+    Real decoder (soundfile) attempted first; STUB parses the synthetic
+    header otherwise."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    @staticmethod
+    def _decode(payload: bytes):
+        try:  # pragma: no cover - real decoder absent in this container
+            import io
+
+            import soundfile as sf  # noqa: F401
+
+            data, rate = sf.read(io.BytesIO(payload))
+            return rate, len(data) / rate, float(np.sqrt((data ** 2).mean()))
+        except ImportError:
+            pass
+        if payload[:4] != _AMAGIC:
+            raise ValueError("unknown audio format (stub decoder understands PFAU only)")
+        rate, ns = struct.unpack("<II", payload[4:12])
+        pcm = np.frombuffer(payload, dtype=np.int16, offset=12, count=ns).astype(np.float64)
+        return rate, ns / rate, float(np.sqrt((pcm ** 2).mean()))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rates, durs, rms = [], [], []
+        for payload in t[self.payload_col].to_pylist():
+            r, d, m = self._decode(payload)
+            rates.append(r)
+            durs.append(d)
+            rms.append(m)
+        t = t.drop_columns([self.payload_col])
+        t = t.append_column("sample_rate", pa.array(rates, pa.int32()))
+        t = t.append_column("duration_s", pa.array(durs, pa.float64()))
+        return t.append_column("rms", pa.array(rms, pa.float64()))
+
+
+class SampleVideoFrames:
+    """Actor-pool stage: frame-sample every *stride*-th frame and emit one
+    row per sampled frame (1 → N explode) with per-frame mean intensity.
+    Output rows stay small: frames become feature rows, payload dropped."""
+
+    def __init__(self, payload_col: str = "payload", stride: int = 4):
+        self.payload_col = payload_col
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vid_out, frame_out, mean_out = [], [], []
+        ids = t["video_id"].to_pylist()
+        for vid, payload in zip(ids, t[self.payload_col].to_pylist()):
+            if payload[:4] != _VMAGIC:
+                raise ValueError("unknown video format (stub decoder understands PFVI only)")
+            w, h, nf = struct.unpack("<III", payload[4:16])
+            frames = np.frombuffer(payload, dtype=np.uint8, offset=16).reshape(nf, h * w)
+            for fi in range(0, nf, self.stride):
+                vid_out.append(vid)
+                frame_out.append(fi)
+                mean_out.append(float(frames[fi].mean()))
+        return pa.table(
+            {
+                "video_id": pa.array(vid_out, pa.int64()),
+                "frame_idx": pa.array(frame_out, pa.int32()),
+                "mean_intensity": pa.array(mean_out, pa.float64()),
+            }
+        )
+
+
+class ResizeImages:
+    """Actor-pool stage: nearest-neighbor resize of the synthetic image body
+    to (out_w × out_h), re-emitting a payload column — demonstrates a
+    payload→payload transform (batch sizes must stay small; see module
+    docstring)."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16, payload_col: str = "payload"):
+        self.out_w, self.out_h = out_w, out_h
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = []
+        for payload in t[self.payload_col].to_pylist():
+            if payload[:4] != _MAGIC:
+                raise ValueError("unknown image format")
+            w, h, _c = struct.unpack("<III", payload[4:16])
+            body = np.frombuffer(payload, dtype=np.uint8, offset=16).reshape(h, w)
+            yi = (np.arange(self.out_h) * h // self.out_h)
+            xi = (np.arange(self.out_w) * w // self.out_w)
+            small = body[np.ix_(yi, xi)]
+            out.append(_MAGIC + struct.pack("<III", self.out_w, self.out_h, 1) + small.tobytes())
+        i = t.column_names.index(self.payload_col)
+        return t.set_column(i, self.payload_col, pa.array(out, pa.binary()))

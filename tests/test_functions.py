@@ -178,3 +178,49 @@ def test_detect_hot_keys():
     hot = detect_hot_keys(ray.data.from_arrow(t), "conv_id", top_k=5)
     assert hot.key.iloc[0] == "conv_00000000"  # the planted hot conversation
     assert hot.approx_count.iloc[0] == (pd.Series(t["conv_id"].to_pylist()) == "conv_00000000").sum()
+
+
+def test_audio_features_pipeline():
+    from pipeflow_ray.functions.multimodal import ExtractAudioFeatures, synth_audio_table
+
+    t = synth_audio_table(60)
+    out = ray.data.from_arrow(t).map_batches(
+        ExtractAudioFeatures, batch_format="pyarrow", batch_size=16, concurrency=2, num_cpus=1
+    ).to_pandas()
+    assert len(out) == 60
+    assert (out.sample_rate.isin([8000, 16000, 44100])).all()
+    assert (out.duration_s > 0).all() and (out.rms > 0).all()
+
+
+def test_video_frame_sampling_explodes():
+    import struct
+
+    from pipeflow_ray.functions.multimodal import SampleVideoFrames, synth_video_table
+
+    t = synth_video_table(20)
+    out = ray.data.from_arrow(t).map_batches(
+        SampleVideoFrames, fn_constructor_kwargs={"stride": 4},
+        batch_format="pyarrow", batch_size=8, concurrency=2, num_cpus=1,
+    ).to_pandas()
+    # oracle: expected sampled-frame count from the headers
+    expect = 0
+    for p in t["payload"].to_pylist():
+        nf = struct.unpack("<III", p[4:16])[2]
+        expect += len(range(0, nf, 4))
+    assert len(out) == expect
+    assert (out.frame_idx % 4 == 0).all()
+
+
+def test_image_resize_payload_roundtrip():
+    from pipeflow_ray.functions.multimodal import DecodeImages, ResizeImages, synth_image_table
+
+    t = synth_image_table(30)
+    resized = ray.data.from_arrow(t).map_batches(
+        ResizeImages, fn_constructor_kwargs={"out_w": 16, "out_h": 16},
+        batch_format="pyarrow", batch_size=8, concurrency=2, num_cpus=1,
+    )
+    decoded = resized.map_batches(
+        DecodeImages, batch_format="pyarrow", batch_size=8, concurrency=2
+    ).to_pandas()
+    assert (decoded.width == 16).all() and (decoded.height == 16).all()
+    assert decoded.mean_intensity.between(0, 255).all()
