@@ -866,3 +866,27 @@ def asof_join_events(sf_dir):
         )
 
     return joined.map_batches(_fmt, batch_format="pyarrow")
+
+
+@q(
+    "transcripts_sliding",
+    f"""WITH b AS (SELECT conv_id,
+                          CAST(epoch_us(ts) // 3600000000 AS BIGINT) * 3600 AS w
+                   FROM read_parquet('{_TP001}')),
+           x AS (SELECT conv_id, w AS window_start_s FROM b
+                 UNION ALL
+                 SELECT conv_id, w - 3600 AS window_start_s FROM b)
+        SELECT conv_id, window_start_s, CAST(count(*) AS BIGINT) AS n
+        FROM x GROUP BY conv_id, window_start_s""",
+)
+def transcripts_sliding(sf_dir):
+    """2h window / 1h slide per conversation (each turn in two windows)."""
+    ds = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id", "ts"])
+    ds = ds.map_batches(assign_sliding(7200.0, 3600.0), batch_format="pyarrow")
+
+    def _to_s(t: pa.Table) -> pa.Table:
+        ws = pc.divide(t["window_start"].cast(pa.int64()), 1_000_000)
+        return pa.table({"conv_id": t["conv_id"], "window_start_s": ws})
+
+    ds = ds.map_batches(_to_s, batch_format="pyarrow")
+    return partial_aggregate(ds, ["conv_id", "window_start_s"], {"n": ("count", None)})

@@ -154,3 +154,15 @@ def test_cast_coercion():
     t = pa.table({"s": ["42", "7", None]})
     out = Pipeline.from_arrow(t).cast({"s": pa.int64()}).to_list()
     assert [r["s"] for r in out] == [42, 7, None]
+
+
+def test_canonicalize_columns():
+    # case-insensitive rename at ingest (reference DataRow semantics,
+    # DataRow.cs:14 — paid once per batch instead of per lookup)
+    t = pa.table({" Name ": ["a"], "AGE": [1]})
+    out = (
+        Pipeline.from_arrow(t)
+        .canonicalize(rename={"name": "name", "age": "age"})
+        .to_list()
+    )
+    assert set(out[0].keys()) == {"name", "age"}
