@@ -151,7 +151,7 @@ def bench_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1",
                    GRAFT_SF_DIR=sf_dir, PYTHONPATH=REPO, OMP_NUM_THREADS="1",
-                   GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "5"))
+                   GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "3"))
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,
