@@ -101,6 +101,9 @@ def _pin_worker_threads():
 
 def bench_once() -> dict:
     _pin_worker_threads()
+    # Ray workers resolve imports via PYTHONPATH, not the driver's sys.path —
+    # export it so bench works from any CWD
+    os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
     import ray
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
