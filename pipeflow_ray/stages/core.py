@@ -16,6 +16,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
+import ray
+
 
 PredicateLike = "pads.Expression | Callable[[pa.Table], pa.ChunkedArray | pa.Array | np.ndarray]"
 
@@ -81,7 +83,22 @@ def first_rows_per_group(
     return t.filter(pa.array(keep))
 
 
-DEFAULT_BUCKETS = 64  # ~2× CPUs on the test node; at cluster scale ≈ 2-4× total cores
+DEFAULT_BUCKETS = 64  # floor; see default_buckets()
+
+
+def default_buckets() -> int:
+    """Bucket count for keyed exchanges: ~2× total cluster cores with a floor
+    of DEFAULT_BUCKETS. The floor keeps the PLAN identical across small
+    parallelism levels (the scaling bench compares 2- vs 8-cpu sessions on the
+    same 64-bucket plan); on a real 256-node cluster (1000s of cores) the
+    2×-cores term takes over so reduce tasks keep all workers busy."""
+    try:
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+            return max(DEFAULT_BUCKETS, 2 * cpus)
+    except Exception:  # pragma: no cover - resource query race at shutdown
+        pass
+    return DEFAULT_BUCKETS
 
 
 def add_bucket_column(key_cols: list[str], num_buckets: int = DEFAULT_BUCKETS, out: str = "__bucket"):
@@ -96,11 +113,58 @@ def add_bucket_column(key_cols: list[str], num_buckets: int = DEFAULT_BUCKETS, o
     return _apply
 
 
+# ---------------------------------------------------------------------------
+# Module-level remote tasks for the exchange. These MUST be defined once at
+# import time, never per invocation: a fresh ``@ray.remote`` closure per call
+# re-exports a same-qualname function dozens of times in a long session, and a
+# worker that resolves the export against a stale cached version runs the UDF
+# with the WRONG captured key_cols (observed as the round-1 driver-only
+# ``KeyError: 'user_id'`` in asof_join_events, CORRECTNESS_r01). All per-call
+# parameters travel as explicit task arguments instead.
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _split_task(tbl: pa.Table, key_cols: list[str], num_buckets: int):
+    """Split one block into per-bucket zero-copy slices by key hash."""
+    if tbl.num_rows == 0:
+        # empty blocks can carry an unstable schema (e.g. after a built-in
+        # join); never try to select key columns from them
+        out = tuple(tbl.slice(0, 0) for _ in range(num_buckets))
+        return out if num_buckets > 1 else out[0]
+    df = tbl.select(key_cols).to_pandas()
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy() % num_buckets
+    order = np.argsort(h, kind="stable")
+    t = tbl.take(pa.array(order))
+    hs = h[order]
+    bounds = np.searchsorted(hs, np.arange(num_buckets + 1))
+    out = tuple(t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(num_buckets))
+    return out if num_buckets > 1 else out[0]
+
+
+@ray.remote
+def _reduce_task(fn, as_pandas: bool, *slices):
+    """Concat one bucket's slices and apply the (ray.put-shipped) UDF."""
+    slices = [t for t in slices if t.num_rows]
+    if not slices:
+        return None
+    t = pa.concat_tables(slices, promote_options="default")
+    if as_pandas:
+        out = fn(t.to_pandas())
+        return pa.Table.from_pandas(out, preserve_index=False)
+    return fn(t)
+
+
+@ray.remote
+def _nrows_task(t) -> int:
+    return 0 if t is None else t.num_rows
+
+
 def grouped_by_bucket(
     ds,
     key_cols: list[str],
     fn,
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
     batch_format: str = "pandas",
     engine: str = "exchange",
 ):
@@ -111,7 +175,7 @@ def grouped_by_bucket(
     3.7k pandas constructions). Instead we co-locate keys by hash bucket and
     hand the UDF a whole bucket: *fn* must be key-aware (vectorized over
     multiple keys — sort by key, segment by boundaries), and in exchange runs
-    ~B times total. B ≈ 2-4× total cores.
+    ~B times total. B = :func:`default_buckets` unless overridden.
 
     engine="exchange" (default) routes the all-to-all through
     :func:`hash_exchange` (raw-Ray map-side split — no sort barrier; measured
@@ -121,30 +185,16 @@ def grouped_by_bucket(
     lazy Ray Data plan (``groupby(bucket).map_groups``) at the cost of the
     sort-based shuffle.
     """
+    if num_buckets is None:
+        num_buckets = default_buckets()
     if engine == "exchange":
-        import ray as _ray
         import ray.data as _rd
 
         buckets = hash_exchange(ds, key_cols, num_buckets)
         as_pandas = batch_format == "pandas"
-
-        @_ray.remote
-        def _reduce(*slices):
-            slices = [t for t in slices if t.num_rows]
-            if not slices:
-                return None
-            t = pa.concat_tables(slices, promote_options="default")
-            if as_pandas:
-                out = fn(t.to_pandas())
-                return pa.Table.from_pandas(out, preserve_index=False)
-            return fn(t)
-
-        @_ray.remote
-        def _nrows(t) -> int:
-            return 0 if t is None else t.num_rows
-
-        outs = [_reduce.remote(*b) for b in buckets]
-        counts = _ray.get([_nrows.remote(o) for o in outs])  # refs only; no driver materialization
+        fn_ref = ray.put(fn)  # ship the UDF once, not once per reduce task
+        outs = [_reduce_task.remote(fn_ref, as_pandas, *b) for b in buckets]
+        counts = ray.get([_nrows_task.remote(o) for o in outs])  # refs only; no driver materialization
         refs = [o for o, n in zip(outs, counts) if n > 0]
         if not refs:
             return _rd.from_items([])
@@ -165,7 +215,7 @@ def grouped_by_bucket(
     return ds.groupby("__bucket").map_groups(_wrap, batch_format=batch_format)
 
 
-def hash_exchange(ds, key_cols: list[str], num_buckets: int = DEFAULT_BUCKETS):
+def hash_exchange(ds, key_cols: list[str], num_buckets: int | None = None):
     """Explicit map-side hash exchange built on raw Ray tasks: each upstream
     block is split once into per-bucket slices (single stable argsort on the
     key hash, zero-copy slices); the caller reduces each bucket from its
@@ -182,21 +232,13 @@ def hash_exchange(ds, key_cols: list[str], num_buckets: int = DEFAULT_BUCKETS):
     Returns ``list[list[ObjectRef[pa.Table]]]``: ``out[j]`` = the slices of
     bucket ``j`` (pass to a reduce task; empty slices included).
     """
-    import ray as _ray
-
-    @_ray.remote(num_returns=num_buckets)
-    def _split(tbl: pa.Table):
-        df = tbl.select(key_cols).to_pandas()
-        h = pd.util.hash_pandas_object(df, index=False).to_numpy() % num_buckets
-        order = np.argsort(h, kind="stable")
-        t = tbl.take(pa.array(order))
-        hs = h[order]
-        bounds = np.searchsorted(hs, np.arange(num_buckets + 1))
-        out = tuple(t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(num_buckets))
-        return out if num_buckets > 1 else out[0]
-
+    if num_buckets is None:
+        num_buckets = default_buckets()
     refs = ds.to_arrow_refs()
-    parts = [_split.remote(r) for r in refs]
+    parts = [
+        _split_task.options(num_returns=num_buckets).remote(r, key_cols, num_buckets)
+        for r in refs
+    ]
     if num_buckets == 1:
         return [parts]
     return [[p[j] for p in parts] for j in range(num_buckets)]

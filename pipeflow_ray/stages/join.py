@@ -121,6 +121,40 @@ def hash_join(
     raise NotImplementedError("ray.data.Dataset.join unavailable in this Ray version")
 
 
+@ray.remote
+def _asof_merge_task(n_left: int, key: str, ts_col: str, direction: str, suffix: str, *slices):
+    """Per-bucket ``pandas.merge_asof`` of co-partitioned slices. Module-level
+    (not a per-call closure) so long sessions never collide same-qualname
+    remote-function exports; refs must be top-level args for Ray to resolve
+    them — *n_left* splits the flat slice list back into the two sides."""
+    l_slices, r_slices = slices[:n_left], slices[n_left:]
+    ls = [t for t in l_slices if t.num_rows]
+    rs = [t for t in r_slices if t.num_rows]
+    if not ls:
+        return None
+    ldf = pa.concat_tables(ls, promote_options="default").to_pandas().sort_values(
+        ts_col, kind="mergesort"
+    )
+    if rs:
+        rdf = pa.concat_tables(rs, promote_options="default").to_pandas().sort_values(
+            ts_col, kind="mergesort"
+        )
+    else:
+        # no right rows in this bucket: pick the widest empty slice (an empty
+        # slice normally carries the full right schema) → merge yields
+        # all-null right columns (stable schema across buckets)
+        rdf = max(r_slices, key=lambda t: t.num_columns).to_pandas()
+    out = pd.merge_asof(
+        ldf, rdf, on=ts_col, by=key, direction=direction, suffixes=("", suffix)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+@ray.remote
+def _nrows_task(t):
+    return 0 if t is None else t.num_rows
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -144,36 +178,11 @@ def asof_join(
     lb = hash_exchange(left, [key], num_buckets)
     rb = hash_exchange(right, [key], num_buckets)
 
-    import ray as _ray
-
-    @_ray.remote
-    def _merge(n_left, *slices):
-        # refs must be top-level args for Ray to resolve them; n_left splits
-        # the flat slice list back into the two sides
-        l_slices, r_slices = slices[:n_left], slices[n_left:]
-        ls = [t for t in l_slices if t.num_rows]
-        rs = [t for t in r_slices if t.num_rows]
-        if not ls:
-            return None
-        ldf = pa.concat_tables(ls).to_pandas().sort_values(ts_col, kind="mergesort")
-        if rs:
-            rdf = pa.concat_tables(rs).to_pandas().sort_values(ts_col, kind="mergesort")
-        else:
-            # no right rows in this bucket: an empty slice still carries the
-            # full right schema → merge yields all-null right columns (stable
-            # schema across buckets)
-            rdf = r_slices[0].to_pandas()
-        out = pd.merge_asof(
-            ldf, rdf, on=ts_col, by=key, direction=direction, suffixes=("", suffix)
-        )
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    @_ray.remote
-    def _nrows(t):
-        return 0 if t is None else t.num_rows
-
-    outs = [_merge.remote(len(l), *l, *r) for l, r in zip(lb, rb)]
-    counts = _ray.get([_nrows.remote(o) for o in outs])
+    outs = [
+        _asof_merge_task.remote(len(l), key, ts_col, direction, suffix, *l, *r)
+        for l, r in zip(lb, rb)
+    ]
+    counts = ray.get([_nrows_task.remote(o) for o in outs])
     refs = [o for o, n in zip(outs, counts) if n > 0]
     import ray.data as _rd
 

@@ -74,15 +74,31 @@ class ColumnRules:
         return self._add(_fn, message or f"{self.column} does not match {pattern}")
 
     def in_range(self, lo, hi) -> "ColumnRules":
-        """Numeric bounds; unparsable = invalid (``DataValidator.cs:201-235``)."""
+        """Numeric bounds. Reference semantics (``DataValidator.cs:201-235``):
+        null / missing-column values PASS (RangeRule only checks present
+        values), unparsable values are marked invalid ('Value must be
+        numeric') — never crash the job on a bad string (ADVICE r1)."""
 
         def _fn(t):
             c = self._col(t)
             if c is None:
-                return np.zeros(t.num_rows, dtype=bool)
-            num = pc.cast(c, pa.float64(), safe=False) if not pa.types.is_floating(c.type) else c
+                return np.ones(t.num_rows, dtype=bool)
+            try:
+                num = pc.cast(c, pa.float64(), safe=False) if not pa.types.is_floating(c.type) else c
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                # element-wise fallback: unparsable → invalid, null → pass
+                ok = np.empty(t.num_rows, dtype=bool)
+                for i, v in enumerate(c.to_pylist()):
+                    if v is None:
+                        ok[i] = True
+                    else:
+                        try:
+                            ok[i] = lo <= float(v) <= hi
+                        except (TypeError, ValueError):
+                            ok[i] = False
+                return ok
             ok = pc.and_(pc.greater_equal(num, lo), pc.less_equal(num, hi))
-            return _np(pc.fill_null(ok, False))
+            return _np(pc.fill_null(ok, True))
 
         return self._add(_fn, f"{self.column} must be between {lo} and {hi}")
 

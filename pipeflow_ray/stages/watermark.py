@@ -28,9 +28,15 @@ def compute_watermark(
     """Global low watermark = max(ts) − allowed_lateness. One small aggregate;
     does not materialize the dataset."""
     row = ds.aggregate(Max(ts_col, alias_name="max_ts"))
-    max_ts = row["max_ts"]
+    max_ts = row["max_ts"] if row else None
+    if max_ts is None:
+        raise ValueError(f"cannot compute watermark: dataset has no {ts_col!r} values")
     if isinstance(max_ts, (int, float)):
-        max_ts = _dt.datetime.fromtimestamp(max_ts / 1e6)
+        # numeric epoch micros are naive UTC — convert timezone-independently
+        # (plain fromtimestamp would apply the local zone; ADVICE r1)
+        max_ts = _dt.datetime.fromtimestamp(
+            max_ts / 1e6, tz=_dt.timezone.utc
+        ).replace(tzinfo=None)
     return max_ts - _dt.timedelta(seconds=lateness_s)
 
 

@@ -31,11 +31,16 @@ import ray.data
 US = 1_000_000
 
 
-def _floor_ts(ts: "pa.ChunkedArray", width_us: int) -> pa.ChunkedArray:
-    """Floor timestamp[us] to a window boundary — pure int64 arithmetic."""
+def _floor_ts(ts: "pa.ChunkedArray", width_us: int) -> pa.Array:
+    """Floor timestamp[us] to a window boundary. numpy ``//`` is true floor
+    division, so pre-1970 (negative-epoch) timestamps round DOWN like the
+    streaming and flagship paths (int64 ``pc.divide`` truncates toward zero —
+    ADVICE r1)."""
     i = ts.cast(pa.int64())
-    floored = pc.multiply(pc.floor(pc.divide(i, width_us)).cast(pa.int64()), width_us)
-    return floored.cast(pa.timestamp("us"))
+    if isinstance(i, pa.ChunkedArray):
+        i = i.combine_chunks()
+    arr = i.to_numpy(zero_copy_only=False)
+    return pa.array(arr // width_us * width_us, pa.int64()).cast(pa.timestamp("us"))
 
 
 def assign_tumbling(width_s: float, ts_col: str = "ts", out: str = "window_start"):
@@ -142,14 +147,19 @@ def partial_aggregate(
         else:
             partial_cols.append((f"__{kind}_{out}", col, kind))
 
-    def _partial(t: pa.Table) -> pa.Table:
+    def _partial(t: pa.Table):
+        # generator UDF: empty blocks (e.g. emitted by Ray's built-in hash
+        # join) are dropped instead of forwarded — their schema can be
+        # unstable and triggers RefBundle schema-mismatch warnings downstream
+        if t.num_rows == 0:
+            return
         # several states may share one (src, agg) — aggregate each pair once
         uniq = list(dict.fromkeys((src, agg) for (_, src, agg) in partial_cols))
         out_t = t.group_by(keys, use_threads=False).aggregate(uniq)
         cols = {k: out_t[k] for k in keys}
         for state, src, agg in partial_cols:
             cols[state] = out_t[f"{src}_{agg}"]  # pyarrow's "<col>_<agg>" naming
-        return pa.table(cols)
+        yield pa.table(cols)
 
     partial = ds.map_batches(_partial, batch_format="pyarrow")
 

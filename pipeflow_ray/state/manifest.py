@@ -39,6 +39,8 @@ def _partition_id_column(part_by: str | list[str], num_partitions: int):
     cols = [part_by] if isinstance(part_by, str) else list(part_by)
 
     def _apply(t: pa.Table) -> pa.Table:
+        if "__part" in t.column_names:  # idempotent under resume (prune → write)
+            t = t.drop_columns(["__part"])
         df = t.select(cols).to_pandas()
         h = pd.util.hash_pandas_object(df, index=False).to_numpy()
         pid = (h % num_partitions).astype("int64")
@@ -81,8 +83,16 @@ def filter_completed(
         mask = pc.invert(pc.is_in(t["__part"], value_set=done_arr))
         return t.filter(mask)
 
-    return ds.map_batches(_partition_id_column(part_by, num_partitions), batch_format="pyarrow").map_batches(
-        _prune, batch_format="pyarrow"
+    def _drop_part(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["__part"])
+
+    # __part is dropped after pruning so the pruned dataset round-trips
+    # through write_exactly_once (which re-derives it) without a duplicate
+    # column (ADVICE r1)
+    return (
+        ds.map_batches(_partition_id_column(part_by, num_partitions), batch_format="pyarrow")
+        .map_batches(_prune, batch_format="pyarrow")
+        .map_batches(_drop_part, batch_format="pyarrow")
     )
 
 
@@ -168,9 +178,22 @@ def write_exactly_once(
 
 
 def read_committed(out_dir: str) -> pa.Table:
-    """Read back only committed partitions (files referenced by a manifest)."""
+    """Read back only committed partitions (files referenced by a manifest)
+    as ONE driver-side Arrow table — small results only; at scale use
+    :func:`read_committed_dataset`."""
     done = completed_partitions(out_dir)
     files = [os.path.join(out_dir, m["file"]) for m in done.values() if m["rows"] > 0]
     if not files:
         return pa.table({})
     return pa.concat_tables([pq.read_table(f) for f in sorted(files)])
+
+
+def read_committed_dataset(out_dir: str) -> ray.data.Dataset:
+    """Distributed read-back of committed partitions: a lazy
+    ``ray.data.read_parquet`` over the manifest-listed files (one read task
+    per partition file; nothing materializes on the driver)."""
+    done = completed_partitions(out_dir)
+    files = sorted(os.path.join(out_dir, m["file"]) for m in done.values() if m["rows"] > 0)
+    if not files:
+        return ray.data.from_items([])
+    return ray.data.read_parquet(files)
