@@ -81,8 +81,18 @@ def train_centroids(
     seed: int = 42,
 ) -> np.ndarray:
     """Mini k-means on a driver-side sample (the classic IVF training step —
-    sample is small by construction; the full corpus never leaves the tasks)."""
-    sample = ds.limit(sample_rows).to_pandas()
+    sample is small by construction; the full corpus never leaves the tasks).
+
+    Sampling is uniform via ``random_sample`` over every block — ``limit()``
+    would take only the first blocks, a biased sample (round-1 VERDICT)."""
+    n = ds.count()
+    if n > sample_rows:
+        frac = min(1.0, (sample_rows * 1.25) / n)
+        sample = ds.random_sample(frac, seed=seed).limit(sample_rows).to_pandas()
+        if len(sample) < min(sample_rows // 2, n // 2):  # pathological under-sample
+            sample = ds.limit(sample_rows).to_pandas()
+    else:
+        sample = ds.to_pandas()
     x = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]

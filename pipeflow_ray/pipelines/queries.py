@@ -762,28 +762,159 @@ def quality_docs(sf_dir):
     )
 
 
-@q("minhash_pairs_docs")
+# --- near-dup family: exact DuckDB oracles (round-1 VERDICT #3) -------------
+
+_MINHASH_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(coalesce(text, '')) < 5
+              THEN rpad(coalesce(text, ''), 5, ' ')
+              ELSE coalesce(text, '') END AS tx
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, substr(tx, CAST(g AS INT), 5) AS s
+  FROM (SELECT doc_id, tx, unnest(range(1, length(tx) - 3)) AS g FROM base)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(floor(CAST(i AS DOUBLE) / (ca.n + cb.n - i) * 1000000) AS BIGINT) AS jaccard_micro
+FROM inter
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.7"""
+
+
+@q("minhash_pairs_docs", _MINHASH_ORACLE)
 def minhash_pairs_docs(sf_dir):
+    """MinHash+LSH near-dup pairs, verified by exact shingle Jaccard. The
+    oracle computes ALL-pairs exact 5-char-shingle Jaccard — the banded LSH
+    (32 bands × 2 rows) misses a threshold pair with p < 1e-9, so the outputs
+    agree exactly. jaccard_micro = floor(j·1e6): both engines divide the same
+    exact integers, so the double (and its floor) is bit-identical."""
     from pipeflow_ray.functions.dedup import minhash_dedup_pairs
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_dedup_pairs(docs, threshold=0.7)
+    pairs = minhash_dedup_pairs(docs, threshold=0.7)
+
+    def _fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": t["id_a"].cast(pa.int64()),
+                "id_b": t["id_b"].cast(pa.int64()),
+                "jaccard_micro": _floor_cents(t["jaccard"], 1_000_000),
+            }
+        )
+
+    return pairs.map_batches(_fmt, batch_format="pyarrow")
 
 
-@q("simhash_pairs_docs")
+def _simhash_oracle_sql() -> str:
+    """SimHash oracle: recompute the signature IN SQL — polynomial token hash
+    (HUGEINT % 2^64 ≡ numpy uint64 wraparound), per-bit weighted sign votes,
+    power-of-two packing — then exact pairwise Hamming ≤ 3 via
+    bit_count(xor). Constants are generated here so both engines share P and
+    the truncation bound."""
+    from pipeflow_ray.functions.dedup import SIMHASH_MAX_TOKEN_CHARS, SIMHASH_POLY_P
+
+    p = int(SIMHASH_POLY_P)
+    powers = ", ".join(
+        f"({i + 1}, CAST('{pow(p, i, 1 << 64)}' AS UBIGINT))"
+        for i in range(SIMHASH_MAX_TOKEN_CHARS)
+    )
+    bits = ", ".join(f"({b}, CAST('{1 << b}' AS UBIGINT))" for b in range(64))
+    return f"""
+WITH toks0 AS (
+  SELECT doc_id, unnest(string_split_regex(lower(coalesce(text, '')), '\\s+')) AS tok0
+  FROM documents),
+toks AS (SELECT doc_id, substr(tok0, 1, {SIMHASH_MAX_TOKEN_CHARS}) AS tok
+         FROM toks0 WHERE tok0 <> ''),
+tokcnt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS w FROM toks GROUP BY 1, 2),
+dtok AS (SELECT DISTINCT tok FROM toks),
+pw(i, p) AS (VALUES {powers}),
+chars AS (
+  SELECT tok, CAST(g AS INT) AS i
+  FROM (SELECT tok, unnest(range(1, length(tok) + 1)) AS g FROM dtok)),
+tokh AS (
+  SELECT c.tok,
+         CAST(SUM(CAST(ascii(substr(c.tok, c.i, 1)) AS HUGEINT) * CAST(pw.p AS HUGEINT))
+              % 18446744073709551616 AS UBIGINT) AS h
+  FROM chars c JOIN pw ON pw.i = c.i
+  GROUP BY c.tok),
+bits(b, p2) AS (VALUES {bits}),
+votes AS (
+  SELECT tc.doc_id, bits.b, bits.p2,
+         SUM(tc.w * (2 * CAST((th.h >> bits.b) & CAST(1 AS UBIGINT) AS BIGINT) - 1)) AS v
+  FROM tokcnt tc JOIN tokh th ON th.tok = tc.tok CROSS JOIN bits
+  GROUP BY 1, 2, 3),
+sigv AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN CAST(p2 AS HUGEINT) ELSE 0 END) AS UBIGINT) AS s
+  FROM votes GROUP BY doc_id),
+sig AS (
+  SELECT d.doc_id, coalesce(sv.s, CAST(0 AS UBIGINT)) AS s
+  FROM documents d LEFT JOIN sigv sv ON sv.doc_id = d.doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3"""
+
+
+@q("simhash_pairs_docs", _simhash_oracle_sql())
 def simhash_pairs_docs(sf_dir):
+    """SimHash near-dup pairs. 4×16-bit banding guarantees EXACT recall for
+    Hamming ≤ 3 (pigeonhole: ≤ 3 differing bits leave ≥ 1 of 4 bands equal),
+    so the all-pairs SQL recomputation matches exactly."""
     from pipeflow_ray.functions.dedup import simhash_dup_pairs
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_dup_pairs(docs, max_hamming=3)
+    pairs = simhash_dup_pairs(docs, max_hamming=3)
+
+    def _fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": t["id_a"].cast(pa.int64()),
+                "id_b": t["id_b"].cast(pa.int64()),
+                "hamming": t["hamming"].cast(pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(_fmt, batch_format="pyarrow")
 
 
-@q("embedding_neardup")
+@q(
+    "embedding_neardup",
+    """WITH aug AS (
+         SELECT vec_id, embedding FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9""",
+)
 def embedding_neardup(sf_dir):
+    """Embedding cosine near-dup over the fixture augmented with exact copies
+    of vec_id < 20 (planted duplicates — the raw fixture is random with max
+    organic cosine ≈ 0.6, so the old query was vacuous; round-1 VERDICT #5).
+    Copies share every hyperplane signature, so OR-amplified LSH recall is
+    exactly 1 and the exhaustive SQL oracle matches. Only ids are emitted —
+    the cosine's last ulp is engine-dependent."""
     from pipeflow_ray.functions.dedup import embedding_neardup_pairs
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_neardup_pairs(emb, threshold=0.9)
+
+    def _copies(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.less(t["vec_id"], 20))
+        return pa.table({"vec_id": pc.add(t2["vec_id"], 1_000_000), "embedding": t2["embedding"]})
+
+    aug = emb.union(emb.map_batches(_copies, batch_format="pyarrow"))
+    pairs = embedding_neardup_pairs(aug, threshold=0.9)
+
+    def _fmt(t: pa.Table) -> pa.Table:
+        return pa.table({"id_a": t["id_a"].cast(pa.int64()), "id_b": t["id_b"].cast(pa.int64())})
+
+    return pairs.map_batches(_fmt, batch_format="pyarrow")
 
 
 @q("ivf_topk")
