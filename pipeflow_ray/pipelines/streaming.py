@@ -33,6 +33,14 @@ import ray
 US = 1_000_000
 
 
+def _n_chars(col) -> "pd.Series":
+    """Vectorized char count of a text column (Arrow kernel — ~20× faster
+    than pandas ``.str.len()`` over Python objects on the replay hot path)."""
+    import pyarrow.compute as pc
+
+    return pd.Series(pc.utf8_length(pc.fill_null(col, "")).to_numpy(zero_copy_only=False))
+
+
 def _session_fragments(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
     """Vectorized per-batch sessionization → one row per (conv, fragment)."""
     df = df.sort_values(["conv_id", "ts_us"], kind="mergesort")
@@ -210,9 +218,7 @@ class StreamingSessionRunner:
                 {
                     "conv_id": rb.column("conv_id").to_pandas(),
                     "ts_us": rb.column("ts").cast(pa.int64()).to_pandas(),
-                    "n_chars": rb.column("text").combine_chunks().to_pandas().str.len()
-                    if isinstance(rb.column("text"), pa.ChunkedArray)
-                    else pd.Series(rb.column("text").to_pandas()).str.len(),
+                    "n_chars": _n_chars(rb.column("text")),
                 }
             )
             # late = behind the watermark at arrival → side output, not state
@@ -343,7 +349,7 @@ class StreamingTumblingRunner:
                     {
                         "key": rb.column(0).to_pandas(),
                         "ts_us": rb.column("ts").cast(pa.int64()).to_pandas(),
-                        "v": pd.Series(rb.column("text").to_pandas()).fillna("").str.len(),
+                        "v": _n_chars(rb.column("text")),
                     }
                 )
                 late = df.ts_us < watermark_us
@@ -433,7 +439,7 @@ def _replay_shard(
             {
                 "conv_id": rb.column("conv_id").to_pandas(),
                 "ts_us": rb.column("ts").cast(pa.int64()).to_pandas(),
-                "n_chars": pd.Series(rb.column("text").to_pandas()).fillna("").str.len(),
+                "n_chars": _n_chars(rb.column("text")),
             }
         )
         # late is judged against the watermark BEFORE this batch advances it —
@@ -642,7 +648,7 @@ class CheckpointingSessionRunner(StreamingSessionRunner):
                 {
                     "conv_id": rb.column("conv_id").to_pandas(),
                     "ts_us": rb.column("ts").cast(pa.int64()).to_pandas(),
-                    "n_chars": pd.Series(rb.column("text").to_pandas()).fillna("").str.len(),
+                    "n_chars": _n_chars(rb.column("text")),
                 }
             )
             late = df.ts_us < watermark_us
@@ -702,35 +708,79 @@ class PairJoinActor:
 
     def process(self, turns: pd.DataFrame, watermark_us: int) -> int:
         """*turns*: conv_id, turn_idx, rc (0=user, 1=response, 2=other),
-        ts_us, n_chars — any order within the batch."""
+        ts_us, n_chars — any order within the batch.
+
+        Vectorized: the overwhelmingly common case — user and its response
+        arriving in the SAME micro-batch — is resolved with one pandas-style
+        shift-match over the sorted batch (as in ``stages.join._pair``); only
+        the unmatched residue (pairs split across micro-batch boundaries)
+        touches the Python dict state (round-1 VERDICT #5; turns are unique
+        per (conv_id, turn_idx), so greedy intra-batch matching is equivalent
+        to the sequential scan)."""
+        import numpy as np
+
         state = self.state
-        pairs: list[tuple] = []
-        # deterministic processing order: by (conv, idx)
         turns = turns.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-        for conv, idx, rc, ts, nc in turns.itertuples(index=False, name=None):
-            if rc == 1:  # potential response: match a pending user turn at idx-1
-                prev = state.pop((conv, idx - 1), None)
+        conv = turns["conv_id"].to_numpy()
+        idx = turns["turn_idx"].to_numpy()
+        rc = turns["rc"].to_numpy()
+        ts = turns["ts_us"].to_numpy()
+        nc = turns["n_chars"].to_numpy()
+        n = len(conv)
+
+        pairs_frames: list[pd.DataFrame] = []
+        matched = np.zeros(n, dtype=bool)
+        if n > 1:
+            adj = (conv[1:] == conv[:-1]) & (idx[1:] == idx[:-1] + 1)
+            upos = np.nonzero(adj & (rc[:-1] == 0) & (rc[1:] == 1))[0]
+            if len(upos):
+                matched[upos] = True
+                matched[upos + 1] = True
+                pairs_frames.append(pd.DataFrame(
+                    {
+                        "conv_id": conv[upos],
+                        "turn_idx": idx[upos],
+                        "user_ts_us": ts[upos],
+                        "resp_ts_us": ts[upos + 1],
+                        "user_chars": nc[upos],
+                        "resp_chars": nc[upos + 1],
+                    }
+                ))
+        n_pairs = len(pairs_frames[0]) if pairs_frames else 0
+
+        # residual rows: cross-batch matches + parking, through the dict state
+        res_pairs: list[tuple] = []
+        for i in np.nonzero(~matched)[0]:
+            c, x, r, t_, v = conv[i], int(idx[i]), int(rc[i]), int(ts[i]), int(nc[i])
+            if r == 1:  # potential response: match a pending user turn at x-1
+                prev = state.pop((c, x - 1), None)
                 if prev is not None and prev[0] == 0:
-                    pairs.append((conv, idx - 1, prev[1], ts, prev[2], nc))
+                    res_pairs.append((c, x - 1, prev[1], t_, prev[2], v))
                     continue
                 if prev is not None:  # not a user turn — put it back
-                    state[(conv, idx - 1)] = prev
-            if rc == 0:  # user turn: its response may already be parked at idx+1
-                nxt = state.pop((conv, idx + 1), None)
+                    state[(c, x - 1)] = prev
+            if r == 0:  # user turn: its response may already be parked at x+1
+                nxt = state.pop((c, x + 1), None)
                 if nxt is not None and nxt[0] == 1:
-                    pairs.append((conv, idx, ts, nxt[1], nc, nxt[2]))
+                    res_pairs.append((c, x, t_, nxt[1], v, nxt[2]))
                     continue
                 if nxt is not None:
-                    state[(conv, idx + 1)] = nxt
-            state[(conv, idx)] = (rc, ts, nc)
+                    state[(c, x + 1)] = nxt
+            state[(c, x)] = (r, t_, v)
+        if res_pairs:
+            pairs_frames.append(pd.DataFrame(
+                res_pairs, columns=["conv_id", "turn_idx", "user_ts_us", "resp_ts_us",
+                                    "user_chars", "resp_chars"]))
+            n_pairs += len(res_pairs)
         # eviction: a turn whose ts + gap < watermark can no longer pair
         for k in [k for k, v in state.items() if v[1] + self.gap_us < watermark_us]:
             del state[k]
-        if pairs:
-            self.buf.append(pd.DataFrame(
-                pairs, columns=["conv_id", "turn_idx", "user_ts_us", "resp_ts_us",
-                                "user_chars", "resp_chars"]))
-        return len(pairs)
+        if pairs_frames:
+            self.buf.append(
+                pairs_frames[0] if len(pairs_frames) == 1
+                else pd.concat(pairs_frames, ignore_index=True)
+            )
+        return n_pairs
 
     def drain(self) -> pd.DataFrame:
         parts = self.buf
@@ -788,7 +838,7 @@ class StreamingJoinRunner:
                         "turn_idx": t["turn_idx"].to_pandas().astype("int64"),
                         "rc": rc.to_pandas(),
                         "ts_us": t["ts"].cast(pa.int64()).to_pandas(),
-                        "n_chars": t["text"].to_pandas().fillna("").str.len(),
+                        "n_chars": _n_chars(t["text"].combine_chunks()),
                     }
                 )
                 watermark_us = max(watermark_us, int(df.ts_us.max()) - self.lateness_us)

@@ -1,13 +1,23 @@
 """SQL source/sink over DBAPI connections (reference: streaming
 ``ExecuteReader`` readers ``PipeFlow/Sql/SqlReader.cs:50-122`` /
 ``PostgreSQL/PostgreSqlReader.cs:81-202``, batched transactional INSERT
-writers ``Sql/SqlWriter.cs:57-149``, upsert ``PostgreSqlWriter.cs:220-247``).
+writers ``Sql/SqlWriter.cs:57-149``, upsert ``PostgreSqlWriter.cs:220-247``,
+and the IQueryable/EF pushdown builder
+``Builder/QueryablePipelineBuilder.cs:22-128`` with paged reads
+``QueryablePipelineBuilder.cs:284-353``).
 
-``read_sql`` delegates to ``ray.data.read_sql`` (connection factory runs in
-the read tasks — e.g. ``sqlite3.connect``). ``write_sql`` is a batched
-map_batches sink with per-batch transactions and optional
-``INSERT OR REPLACE`` upsert — the reference's idempotency surface, which is
-also what the exactly-once parquet sink generalizes.
+- :func:`read_sql` — Ray-native read of a fixed query (connection factory
+  runs inside the read tasks).
+- :func:`read_sql_params` — parameterized query (``SqlReader.WithParameter``,
+  ``Sql/SqlReader.cs:36-43``): one Ray task executes with DBAPI qmark params.
+- :func:`read_scalar` — ``ReadScalar<T>`` (``Sql/SqlReader.cs:101-122``):
+  driver-side scalar with optional Python-type coercion.
+- :class:`SqlQueryBuilder` — the IQueryable analog: Filter/Select/OrderBy/
+  Take/Skip/Distinct are PUSHED INTO the SQL text (the database does the
+  work, not the engine), and :meth:`read` pages the pushed-down query as
+  parallel Ray tasks (``LIMIT page OFFSET k·page`` — the distributed form of
+  the reference's sequential ``Skip/Take`` page loop).
+- :func:`write_sql` — batched transactional INSERT / upsert sink.
 """
 
 from __future__ import annotations
@@ -15,12 +25,181 @@ from __future__ import annotations
 from typing import Callable
 
 import pandas as pd
+import pyarrow as pa
 
+import ray
 import ray.data
 
 
 def read_sql(sql: str, connection_factory: Callable, **kw) -> ray.data.Dataset:
     return ray.data.read_sql(sql, connection_factory, **kw)
+
+
+@ray.remote
+def _fetch_query_task(connection_factory: Callable, sql: str, params: tuple) -> pa.Table:
+    """Execute one (possibly parameterized / paged) query inside a Ray task
+    and return the result as an Arrow table."""
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        cur.execute(sql, params) if params else cur.execute(sql)
+        cols = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+    finally:
+        conn.close()
+    if not rows:
+        return pa.table({c: pa.array([], pa.null()) for c in cols})
+    df = pd.DataFrame(rows, columns=cols)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def read_sql_params(
+    sql: str, connection_factory: Callable, params: tuple | list = ()
+) -> ray.data.Dataset:
+    """Parameterized query via DBAPI placeholders (qmark style) — the analog
+    of ``WithParameter`` (``Sql/SqlReader.cs:36-43``). The query runs in a
+    Ray task; use :class:`SqlQueryBuilder` when the result is large enough to
+    want paged parallel reads."""
+    ref = _fetch_query_task.remote(connection_factory, sql, tuple(params))
+    return ray.data.from_arrow_refs([ref])
+
+
+def read_scalar(
+    sql: str, connection_factory: Callable, params: tuple | list = (), cast: type | None = None
+):
+    """``ReadScalar<T>`` (``Sql/SqlReader.cs:101-122``): first column of the
+    first row, optionally coerced; None when the result set is empty."""
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        cur.execute(sql, tuple(params)) if params else cur.execute(sql)
+        row = cur.fetchone()
+    finally:
+        conn.close()
+    if row is None or row[0] is None:
+        return None
+    return cast(row[0]) if cast else row[0]
+
+
+class SqlQueryBuilder:
+    """Fluent pushdown builder over one table — Filter/Select/OrderBy/Take/
+    Skip/Distinct compile into the SQL the DATABASE executes
+    (``Builder/QueryablePipelineBuilder.cs:22-128``); nothing is pulled and
+    re-filtered engine-side.
+
+    Predicates are parameterized fragments: ``where("age > ?", 25)`` — values
+    always travel as DBAPI parameters, never interpolated.
+    """
+
+    def __init__(self, table: str):
+        if not table:
+            raise ValueError("table is required")
+        self._table = table
+        self._wheres: list[str] = []
+        self._params: list = []
+        self._select: list[str] | None = None
+        self._order: list[str] = []
+        self._limit: int | None = None
+        self._offset: int | None = None
+        self._distinct = False
+
+    # --- fluent surface (each returns self, as the reference builders do) ---
+
+    def where(self, condition: str, *params) -> "SqlQueryBuilder":
+        self._wheres.append(f"({condition})")
+        self._params.extend(params)
+        return self
+
+    filter = where  # reference aliases Filter == Where
+
+    def select(self, *columns: str) -> "SqlQueryBuilder":
+        self._select = list(columns)
+        return self
+
+    def order_by(self, column: str, descending: bool = False) -> "SqlQueryBuilder":
+        self._order.append(f"{column} DESC" if descending else column)
+        return self
+
+    def take(self, n: int) -> "SqlQueryBuilder":
+        if n < 0:
+            raise ValueError("count must be non-negative")  # QueryablePipelineBuilder.cs:61
+        self._limit = n
+        return self
+
+    def skip(self, n: int) -> "SqlQueryBuilder":
+        if n < 0:
+            raise ValueError("count must be non-negative")
+        self._offset = n
+        return self
+
+    def distinct(self) -> "SqlQueryBuilder":
+        self._distinct = True
+        return self
+
+    # --- compilation + execution ---
+
+    def to_sql(self) -> tuple[str, tuple]:
+        """Render the pushed-down query and its parameter tuple."""
+        cols = ", ".join(self._select) if self._select else "*"
+        head = "SELECT DISTINCT" if self._distinct else "SELECT"
+        sql = f"{head} {cols} FROM {self._table}"
+        if self._wheres:
+            sql += " WHERE " + " AND ".join(self._wheres)
+        if self._order:
+            sql += " ORDER BY " + ", ".join(self._order)
+        if self._limit is not None:
+            sql += f" LIMIT {int(self._limit)}"
+        if self._offset is not None:
+            if self._limit is None:
+                sql += " LIMIT -1"  # SQLite requires LIMIT before OFFSET
+            sql += f" OFFSET {int(self._offset)}"
+        return sql, tuple(self._params)
+
+    def count(self, connection_factory: Callable) -> int:
+        """Pushed-down COUNT(*) of the filtered query (no data transfer)."""
+        sql = f"SELECT COUNT(*) FROM {self._table}"
+        if self._wheres:
+            sql += " WHERE " + " AND ".join(self._wheres)
+        return int(read_scalar(sql, connection_factory, self._params) or 0)
+
+    def read(
+        self,
+        connection_factory: Callable,
+        page_size: int = 10_000,
+        max_parallel_pages: int = 64,
+    ) -> ray.data.Dataset:
+        """Paged partitioned read of the pushed-down query: a COUNT(*) sizes
+        the page range, then every ``LIMIT page_size OFFSET k·page_size``
+        page is fetched by its own Ray task — the parallel form of the
+        reference's sequential page loop
+        (``QueryablePipelineBuilder.cs:284-353``). Deterministic pages need
+        an ``order_by``; without one the builder orders by the first selected
+        column."""
+        if not self._order:
+            first = self._select[0] if self._select else "1"
+            self.order_by(first)
+        total = self.count(connection_factory)
+        if self._offset:
+            total = max(0, total - self._offset)
+        if self._limit is not None:
+            total = min(total, self._limit)
+        if total == 0:
+            return ray.data.from_items([])
+        base_offset = self._offset or 0
+        n_pages = min((total + page_size - 1) // page_size, max_parallel_pages)
+        # large result + capped pages → grow the page instead of truncating
+        eff_page = (total + n_pages - 1) // n_pages
+        saved = (self._limit, self._offset)
+        refs = []
+        try:
+            for k in range(n_pages):
+                self._limit = min(eff_page, total - k * eff_page)
+                self._offset = base_offset + k * eff_page
+                sql, params = self.to_sql()
+                refs.append(_fetch_query_task.remote(connection_factory, sql, params))
+        finally:
+            self._limit, self._offset = saved
+        return ray.data.from_arrow_refs(refs)
 
 
 def write_sql(
