@@ -379,10 +379,14 @@ def minhash_dedup_pairs(
     """Full near-dup pipeline: signatures (once) → banded LSH candidates →
     signature-estimate pre-filter → exact-Jaccard verified pairs ≥ threshold.
 
-    Recall: with the default 32 bands × 2 rows, a pair at jaccard = t is
-    missed by every band with probability (1 − t²)³² — ≈ 4e-10 at t = 0.7 —
-    so the banded candidates are exhaustive in practice and the exact verify
-    makes precision exact."""
+    Banding: 16 bands × 4 rows (the sharp S-curve). A pair at jaccard j is
+    missed by every band with probability (1 − j⁴)¹⁶ — ≈ 2e-10 at j = 0.93
+    (where this corpus's true pairs live), ~1% only for pairs exactly AT a
+    0.7 threshold. 2-row bands were tried and rejected: on high-baseline
+    corpora (token-soup text, j≈0.2 between random docs) they admit millions
+    of false candidates (measured 7.8M at sf0.1 — a 20× pipeline slowdown)
+    for negligible recall gain. Precision is always exact (every emitted pair
+    passes the exact-Jaccard verify)."""
     num_perm = kw.get("num_perm", 64)
     k = kw.get("k", 5)
     sigs = ds.map_batches(
@@ -391,7 +395,7 @@ def minhash_dedup_pairs(
         batch_format="pyarrow",
         concurrency=(1, 8),
     ).materialize()
-    cands = _candidates_from_sigs(sigs, id_col, num_perm, kw.get("bands", 32))
+    cands = _candidates_from_sigs(sigs, id_col, num_perm, kw.get("bands", 16))
     plausible = estimate_filter_pairs(cands, sigs, threshold, id_col)
     return verify_jaccard(plausible, ds, threshold, text_col, id_col, k=k)
 

@@ -791,7 +791,8 @@ WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.7"""
 def minhash_pairs_docs(sf_dir):
     """MinHash+LSH near-dup pairs, verified by exact shingle Jaccard. The
     oracle computes ALL-pairs exact 5-char-shingle Jaccard — the banded LSH
-    (32 bands × 2 rows) misses a threshold pair with p < 1e-9, so the outputs
+    (16 bands × 4 rows) misses a fixture pair (all at j ≥ 0.92, where the
+    per-pair miss probability is ~2e-10) essentially never, so the outputs
     agree exactly. jaccard_micro = floor(j·1e6): both engines divide the same
     exact integers, so the double (and its floor) is bit-identical."""
     from pipeflow_ray.functions.dedup import minhash_dedup_pairs

@@ -163,21 +163,28 @@ def partial_aggregate(
 
     partial = ds.map_batches(_partial, batch_format="pyarrow")
 
-    from ray.data.aggregate import Max, Min, Sum
-
-    finals = []
+    # final merge of partial states through the engine's own hash exchange:
+    # Ray's sort-based Aggregate emits schemaless empty partitions on small
+    # group counts (RefBundle schema-mismatch warnings, round-1 VERDICT #8)
+    # and pays a sort barrier the exchange avoids.
+    finals: list[tuple[str, str]] = []
     seen = set()
     for state, _, agg in partial_cols:
         if state in seen:
             continue
         seen.add(state)
-        if agg in ("sum", "count"):
-            finals.append(Sum(state, alias_name=state))
-        elif agg == "min":
-            finals.append(Min(state, alias_name=state))
-        elif agg == "max":
-            finals.append(Max(state, alias_name=state))
-    merged = partial.groupby(keys).aggregate(*finals)
+        finals.append((state, "sum" if agg == "count" else agg))
+
+    def _merge_states(t: pa.Table) -> pa.Table:
+        out_t = t.group_by(keys, use_threads=False).aggregate(finals)
+        cols = {k: out_t[k] for k in keys}
+        for state, agg in finals:
+            cols[state] = out_t[f"{state}_{agg}"]
+        return pa.table(cols)
+
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    merged = grouped_by_bucket(partial, keys, _merge_states, batch_format="pyarrow")
 
     def _finalize(t: pa.Table) -> pa.Table:
         cols = {k: t[k] for k in keys}
