@@ -26,9 +26,11 @@ def main():
     pairs = minhash_dedup_pairs(docs, threshold=0.7)
     print("near-dup pairs (Jaccard ≥ 0.7):", pairs.count())
 
+    # autoscaling (1..2) pools: two FIXED pools of 2 on a 4-cpu session would
+    # claim every CPU and starve the downstream tasks (see CLAUDE.md gotcha)
     scored = (
-        docs.map_batches(QualityScore, batch_format="pyarrow", concurrency=2, num_cpus=1)
-        .map_batches(LangId, batch_format="pyarrow", concurrency=2, num_cpus=1)
+        docs.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 2), num_cpus=1)
+        .map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2), num_cpus=1)
         .map_batches(token_count(), batch_format="pyarrow")
     )
     good = scored.filter(lambda r: r["quality"] > 0.5 and r["lang_pred"] == "en")

@@ -387,6 +387,95 @@ class StreamingTumblingRunner:
         return windows, metrics
 
 
+class StreamingSlidingRunner(StreamingTumblingRunner):
+    """Arrival-order SLIDING-window aggregation: each row contributes a
+    partial to every window containing it (k = width/slide replicated
+    window-starts, vectorized), then the tumbling machinery — actor state
+    keyed (key, window_start), watermark finalization when the watermark
+    passes ``window_start + width`` — applies unchanged.
+
+    With lateness ≥ disorder the finalized windows equal the batch
+    :func:`~pipeflow_ray.stages.window.sliding_aggregate` (tested)."""
+
+    def __init__(self, width_s: float = 7200.0, slide_s: float = 3600.0,
+                 lateness_s: float = 3600.0, num_buckets: int = 8,
+                 key_col: str = "conv_id", value_col: str = "n_chars"):
+        if int(width_s * US) % int(slide_s * US) != 0:
+            raise ValueError("sliding window width must be a multiple of slide")
+        super().__init__(width_s=width_s, lateness_s=lateness_s,
+                         num_buckets=num_buckets, key_col=key_col, value_col=value_col)
+        self.slide_us = int(slide_s * US)
+
+    def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
+        import os
+
+        k = self.width_us // self.slide_us
+        actors = [TumblingBucketActor.remote(self.width_s) for _ in range(self.num_buckets)]
+        watermark_us = -(1 << 62)
+        out_parts: list[pd.DataFrame] = []
+        late_rows = 0
+        n_rows = 0
+
+        files = sorted(
+            os.path.join(parquet_path, f)
+            for f in os.listdir(parquet_path) if f.endswith(".parquet")
+        ) if os.path.isdir(parquet_path) else [parquet_path]
+
+        cols = [self.key_col, "text", "ts"]
+        for fp in files:
+            for rb in pq.ParquetFile(fp).iter_batches(batch_size=micro_batch_rows, columns=cols):
+                n_rows += rb.num_rows
+                df = pd.DataFrame(
+                    {
+                        "key": rb.column(0).to_pandas(),
+                        "ts_us": rb.column("ts").cast(pa.int64()).to_pandas(),
+                        "v": _n_chars(rb.column("text")),
+                    }
+                )
+                late = df.ts_us < watermark_us
+                late_rows += int(late.sum())
+                df = df[~late]
+                if not len(df):
+                    continue
+                watermark_us = max(watermark_us, int(df.ts_us.max()) - self.lateness_us)
+                # replicate into the k containing windows (vectorized explode)
+                base = df.ts_us.to_numpy() // self.slide_us * self.slide_us
+                reps = []
+                for i in range(k):
+                    ws = base - i * self.slide_us
+                    valid = df.ts_us.to_numpy() < ws + self.width_us
+                    sub = df[valid].copy()
+                    sub["ws"] = ws[valid]
+                    reps.append(sub)
+                rep = pd.concat(reps, ignore_index=True)
+                partials = (
+                    rep.groupby(["key", "ws"], sort=False)
+                    .agg(n=("v", "size"), s=("v", "sum"))
+                    .reset_index()
+                )
+                bucket = pd.util.hash_array(partials.key.to_numpy(dtype=object)) % self.num_buckets
+                futs = [
+                    actors[b].process.remote(partials[bucket == b], watermark_us)
+                    for b in range(self.num_buckets) if (bucket == b).any()
+                ]
+                for part in ray.get(futs):
+                    if len(part):
+                        out_parts.append(part)
+
+        for part in ray.get([a.flush.remote() for a in actors]):
+            if len(part):
+                out_parts.append(part)
+
+        windows = (
+            pd.concat(out_parts, ignore_index=True)
+            if out_parts
+            else pd.DataFrame(columns=["key", "window_start_us", "n", "value_sum"])
+        )
+        metrics = {"rows": n_rows, "late_rows": late_rows, "windows": int(len(windows)),
+                   "final_watermark_us": int(watermark_us)}
+        return windows, metrics
+
+
 # ---------------------------------------------------------------------------
 # Parallel multi-shard replay with per-shard watermarks (the distributed form)
 # ---------------------------------------------------------------------------

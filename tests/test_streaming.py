@@ -308,3 +308,33 @@ def test_streaming_join_evicts_unmatched(transcripts_path):
     runner = StreamingJoinRunner(lateness_s=600.0, eviction_gap_s=600.0, num_buckets=4)
     pairs, metrics = runner.run(transcripts_path, micro_batch_rows=128)
     assert metrics["open_state"] < metrics["rows"] * 0.2  # evicted, not hoarded
+
+
+def test_streaming_sliding_equals_batch(transcripts_path):
+    """Streaming sliding windows (2h width / 1h slide; row replicated into
+    both containing windows) must equal the batch sliding aggregate."""
+    from pipeflow_ray.pipelines.streaming import StreamingSlidingRunner
+
+    runner = StreamingSlidingRunner(width_s=7200.0, slide_s=3600.0,
+                                    lateness_s=3 * 3600.0, num_buckets=4)
+    windows, metrics = runner.run(transcripts_path, micro_batch_rows=128)
+    assert metrics["late_rows"] == 0
+    assert windows.n.sum() == 2 * metrics["rows"]  # every row in exactly 2 windows
+
+    df = pq.read_table(transcripts_path, columns=["conv_id", "text", "ts"]).to_pandas()
+    df["v"] = df.text.fillna("").str.len()
+    tus = df.ts.astype("datetime64[us]").astype(np.int64)
+    slide = 3_600_000_000
+    parts = []
+    for i in range(2):
+        ws = tus // slide * slide - i * slide
+        sub = pd.DataFrame({"conv_id": df.conv_id, "ws": ws, "v": df.v})
+        parts.append(sub[tus < ws + 2 * slide])
+    rep = pd.concat(parts, ignore_index=True)
+    ref = rep.groupby(["conv_id", "ws"]).agg(n=("v", "size"), value_sum=("v", "sum")).reset_index()
+
+    got = windows.sort_values(["key", "window_start_us"]).reset_index(drop=True)
+    ref = ref.sort_values(["conv_id", "ws"]).reset_index(drop=True)
+    assert len(got) == len(ref)
+    assert (got.n.to_numpy() == ref.n.to_numpy()).all()
+    assert (got.value_sum.to_numpy() == ref.value_sum.to_numpy()).all()
