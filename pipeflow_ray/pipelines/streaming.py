@@ -882,6 +882,22 @@ class PairJoinActor:
     def state_size(self) -> int:
         return len(self.state)
 
+    # --- checkpoint support (CheckpointingJoinRunner) ---
+
+    def dump_state(self) -> pd.DataFrame:
+        """Snapshot pending unmatched turns (the checkpoint state half)."""
+        rows = [(c, x, r, t, n) for (c, x), (r, t, n) in self.state.items()]
+        return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "rc", "ts_us", "n_chars"])
+
+    def load_state(self, df: pd.DataFrame) -> None:
+        """Restore a snapshot (resume). Replaces current state."""
+        self.state = {
+            (c, int(x)): (int(r), int(t), int(n))
+            for c, x, r, t, n in df[
+                ["conv_id", "turn_idx", "rc", "ts_us", "n_chars"]
+            ].itertuples(index=False, name=None)
+        }
+
 
 class StreamingJoinRunner:
     """Arrival-order incremental turn-response join over the transcript log:
@@ -946,3 +962,130 @@ class StreamingJoinRunner:
         )
         open_state = sum(ray.get([a.state_size.remote() for a in actors]))
         return pairs, {"rows": n_rows, "pairs": int(len(pairs)), "open_state": open_state}
+
+
+class CheckpointingJoinRunner(StreamingJoinRunner):
+    """Streaming turn-response join with periodic consistent checkpoints and
+    exactly-once committed pair output, resumable mid-stream — the join
+    counterpart of :class:`CheckpointingSessionRunner` (same barrier recipe:
+    drain buffered emissions → atomic partition commit → snapshot pending
+    state + replay offset + watermark)."""
+
+    def run(  # noqa: C901 - checkpoint state machine
+        self,
+        parquet_path: str,
+        out_dir: str,
+        micro_batch_rows: int = 65_536,
+        checkpoint_every: int = 10,
+        stop_after_batches: int | None = None,  # crash-injection hook (tests)
+    ):
+        import json
+        import os
+
+        import pyarrow.compute as pc
+
+        from pipeflow_ray.state.manifest import commit_partition, prepare_sink
+
+        prepare_sink(out_dir)
+        ck_dir = os.path.join(out_dir, "_checkpoints")
+        os.makedirs(ck_dir, exist_ok=True)
+        ck_json = os.path.join(ck_dir, "latest.json")
+
+        actors = [PairJoinActor.remote(self.eviction_gap_s) for _ in range(self.num_buckets)]
+
+        start_batch = 0
+        watermark_us = -(1 << 62)
+        commit_seq = 0
+        if os.path.exists(ck_json):
+            with open(ck_json) as f:
+                ck = json.load(f)
+            start_batch = ck["next_batch"]
+            watermark_us = ck["watermark_us"]
+            commit_seq = ck["commit_seq"]
+            state_df = pd.read_parquet(os.path.join(ck_dir, ck["state_file"]))
+            bucket = pd.util.hash_array(state_df.conv_id.to_numpy(dtype=object)) % self.num_buckets
+            ray.get([
+                actors[b].load_state.remote(state_df[bucket == b])
+                for b in range(self.num_buckets)
+            ])
+
+        def _commit_drained(seq: int) -> int:
+            parts = [p for p in ray.get([a.drain.remote() for a in actors]) if len(p)]
+            body = (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame(columns=["conv_id", "turn_idx", "user_ts_us",
+                                           "resp_ts_us", "user_chars", "resp_chars"])
+            )
+            commit_partition(
+                pa.Table.from_pandas(body, preserve_index=False), out_dir, seq,
+                ts_col=None,
+                lineage={"input": parquet_path, "kind": "join-checkpoint", "seq": seq},
+            )
+            return seq + 1
+
+        def _checkpoint(next_batch: int) -> None:
+            states = pd.concat(
+                ray.get([a.dump_state.remote() for a in actors]), ignore_index=True
+            )
+            state_file = f"state-{next_batch:08d}.parquet"
+            tmp = os.path.join(ck_dir, state_file + ".tmp")
+            states.to_parquet(tmp)
+            os.replace(tmp, os.path.join(ck_dir, state_file))
+            rec = {"next_batch": next_batch, "watermark_us": watermark_us,
+                   "commit_seq": commit_seq, "state_file": state_file}
+            tmpj = ck_json + ".tmp"
+            with open(tmpj, "w") as f:
+                json.dump(rec, f)
+            os.replace(tmpj, ck_json)  # atomic: checkpoint becomes visible
+
+        files = sorted(
+            os.path.join(parquet_path, f)
+            for f in os.listdir(parquet_path) if f.endswith(".parquet")
+        ) if os.path.isdir(parquet_path) else [parquet_path]
+
+        def _batches():
+            for fp in files:
+                yield from pq.ParquetFile(fp).iter_batches(
+                    batch_size=micro_batch_rows,
+                    columns=["conv_id", "turn_idx", "role", "text", "ts"],
+                )
+
+        idx = -1
+        for idx, rb in enumerate(_batches()):
+            if idx < start_batch:
+                continue  # covered by the checkpoint we resumed from
+            if stop_after_batches is not None and idx >= start_batch + stop_after_batches:
+                return None  # simulated crash: no flush, no checkpoint
+            t = pa.Table.from_batches([rb])
+            role = t["role"]
+            rc = pc.if_else(
+                pc.equal(role, "user"), pa.scalar(0, pa.int8()),
+                pc.if_else(pc.is_in(role, value_set=pa.array(["assistant", "tool"])),
+                           pa.scalar(1, pa.int8()), pa.scalar(2, pa.int8())),
+            )
+            df = pd.DataFrame(
+                {
+                    "conv_id": t["conv_id"].to_pandas(),
+                    "turn_idx": t["turn_idx"].to_pandas().astype("int64"),
+                    "rc": rc.to_pandas(),
+                    "ts_us": t["ts"].cast(pa.int64()).to_pandas(),
+                    "n_chars": _n_chars(t["text"].combine_chunks()),
+                }
+            )
+            watermark_us = max(watermark_us, int(df.ts_us.max()) - self.lateness_us)
+            bucket = pd.util.hash_array(df.conv_id.to_numpy(dtype=object)) % self.num_buckets
+            ray.get([
+                actors[b].process.remote(df[bucket == b], watermark_us)
+                for b in range(self.num_buckets) if (bucket == b).any()
+            ])
+            if (idx + 1 - start_batch) % checkpoint_every == 0:
+                commit_seq = _commit_drained(commit_seq)
+                _checkpoint(idx + 1)
+
+        # end of stream: commit the final partition, checkpoint the position
+        commit_seq = _commit_drained(commit_seq)
+        _checkpoint(idx + 1)
+        open_state = sum(ray.get([a.state_size.remote() for a in actors]))
+        return {"final_watermark_us": int(watermark_us), "partitions": commit_seq,
+                "open_state": open_state}

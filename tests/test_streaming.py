@@ -338,3 +338,37 @@ def test_streaming_sliding_equals_batch(transcripts_path):
     assert len(got) == len(ref)
     assert (got.n.to_numpy() == ref.n.to_numpy()).all()
     assert (got.value_sum.to_numpy() == ref.value_sum.to_numpy()).all()
+
+
+def test_join_checkpoint_resume_midstream_exactly_once(transcripts_path, tmp_path):
+    """Kill the streaming JOIN mid-stream, resume from checkpoint: committed
+    pairs must equal an uninterrupted run AND the plain streaming join —
+    no duplicates, no gaps."""
+    from pipeflow_ray.pipelines.streaming import (
+        CheckpointingJoinRunner,
+        StreamingJoinRunner,
+    )
+    from pipeflow_ray.state.manifest import read_committed
+
+    kw = dict(micro_batch_rows=64, checkpoint_every=3)
+    key = ["conv_id", "turn_idx"]
+
+    full_dir = str(tmp_path / "full")
+    r1 = CheckpointingJoinRunner(lateness_s=3 * 3600.0, num_buckets=4)
+    assert r1.run(transcripts_path, full_dir, **kw) is not None
+    full = read_committed(full_dir).to_pandas().sort_values(key).reset_index(drop=True)
+
+    crash_dir = str(tmp_path / "crash")
+    r2 = CheckpointingJoinRunner(lateness_s=3 * 3600.0, num_buckets=4)
+    assert r2.run(transcripts_path, crash_dir, stop_after_batches=5, **kw) is None
+
+    r3 = CheckpointingJoinRunner(lateness_s=3 * 3600.0, num_buckets=4)
+    assert r3.run(transcripts_path, crash_dir, **kw) is not None
+    resumed = read_committed(crash_dir).to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(resumed, full)
+
+    plain, _m = StreamingJoinRunner(lateness_s=3 * 3600.0, num_buckets=4).run(
+        transcripts_path, micro_batch_rows=64
+    )
+    plain = plain.sort_values(key).reset_index(drop=True)[full.columns.tolist()]
+    pd.testing.assert_frame_equal(resumed, plain, check_dtype=False)
