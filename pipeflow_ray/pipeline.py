@@ -121,6 +121,22 @@ class Pipeline:
     def from_pandas(cls, df: pd.DataFrame) -> "Pipeline":
         return cls(ray.data.from_pandas(df))
 
+    @classmethod
+    def from_sql(cls, sql: str, connection_factory, params: tuple = (), **kw) -> "Pipeline":
+        """SQL source; with *params*, a parameterized single-task read
+        (``SqlReader.WithParameter``), else Ray's native ``read_sql``."""
+        from pipeflow_ray.sources.sql import read_sql, read_sql_params
+
+        if params:
+            return cls(read_sql_params(sql, connection_factory, params))
+        return cls(read_sql(sql, connection_factory, **kw))
+
+    @classmethod
+    def from_sql_builder(cls, builder, connection_factory, page_size: int = 10_000) -> "Pipeline":
+        """Pushdown source: a :class:`~pipeflow_ray.sources.sql.SqlQueryBuilder`
+        whose operators run in the database, paged as parallel Ray tasks."""
+        return cls(builder.read(connection_factory, page_size=page_size))
+
     @property
     def dataset(self) -> ray.data.Dataset:
         return self._ds
@@ -388,6 +404,14 @@ class Pipeline:
 
         return self._chain(turn_response_join(self._ds, key, order_col, carry_cols))
 
+    def join_asof(self, other: "Pipeline", key: str, ts_col: str = "ts",
+                  direction: str = "backward", suffix: str = "_r",
+                  num_buckets: int = 64) -> "Pipeline":
+        from pipeflow_ray.stages.join import asof_join
+
+        return self._chain(asof_join(self._ds, other._ds, key, ts_col, direction,
+                                     suffix, num_buckets))
+
     # -------------------------------------------------------------------- sinks
     def write_exactly_once(self, out_dir: str, part_by="conv_id", num_partitions: int = 32,
                            ts_col: str | None = "ts", lineage: dict | None = None):
@@ -405,3 +429,23 @@ class Pipeline:
 
     def to_json(self, path: str, **kw):
         self._ds.write_json(path, **kw)
+
+    def to_csv_formatted(self, path: str, options=None):
+        """Formatted distributed CSV sink (delimiter / headers / quote-all /
+        date + bool formats / append guard — ``sources.writers``)."""
+        from pipeflow_ray.sources.writers import write_csv as _wc
+
+        _wc(self._ds, path, options)
+
+    def to_json_formatted(self, path: str, options=None):
+        """Formatted distributed JSONL sink (camelCase naming, append guard)."""
+        from pipeflow_ray.sources.writers import write_json as _wj
+
+        _wj(self._ds, path, options)
+
+    def to_sql(self, table: str, connection_factory, upsert: bool = False,
+               batch_size: int = 4096) -> int:
+        """Batched transactional SQL sink; returns rows written."""
+        from pipeflow_ray.sources.sql import write_sql as _ws
+
+        return _ws(self._ds, table, connection_factory, upsert, batch_size)

@@ -125,13 +125,21 @@ def add_bucket_column(key_cols: list[str], num_buckets: int = DEFAULT_BUCKETS, o
 
 
 @ray.remote
-def _split_task(tbl: pa.Table, key_cols: list[str], num_buckets: int):
-    """Split one block into per-bucket zero-copy slices by key hash."""
-    if tbl.num_rows == 0:
+def _split_task(key_cols: list[str], num_buckets: int, *tbls: pa.Table):
+    """Split one or more blocks into per-bucket zero-copy slices by key hash.
+    Accepts SEVERAL upstream blocks so tiny-block datasets (default reads,
+    post-materialize splits) cost one split task per ~num_buckets blocks, not
+    one per block — 190 blocks × 64 slices of per-object overhead measured
+    ~2× the whole exchange wall at sf0.1."""
+    nonempty = [t for t in tbls if t.num_rows]
+    if not nonempty:
         # empty blocks can carry an unstable schema (e.g. after a built-in
         # join); never try to select key columns from them
+        tbl = max(tbls, key=lambda t: t.num_columns)
         out = tuple(tbl.slice(0, 0) for _ in range(num_buckets))
         return out if num_buckets > 1 else out[0]
+    tbl = nonempty[0] if len(nonempty) == 1 else pa.concat_tables(
+        nonempty, promote_options="default")
     df = tbl.select(key_cols).to_pandas()
     h = pd.util.hash_pandas_object(df, index=False).to_numpy() % num_buckets
     order = np.argsort(h, kind="stable")
@@ -235,9 +243,16 @@ def hash_exchange(ds, key_cols: list[str], num_buckets: int | None = None):
     if num_buckets is None:
         num_buckets = default_buckets()
     refs = ds.to_arrow_refs()
+    if not refs:
+        return [[] for _ in range(num_buckets)]
+    # coalesce tiny upstream blocks: at most num_buckets split tasks, each
+    # handling a contiguous group of blocks (refs resolve to values inside
+    # the task; top-level varargs, per the Ray ref-resolution rule)
+    n_tasks = min(len(refs), num_buckets)
+    groups = [list(g) for g in np.array_split(np.array(refs, dtype=object), n_tasks)]
     parts = [
-        _split_task.options(num_returns=num_buckets).remote(r, key_cols, num_buckets)
-        for r in refs
+        _split_task.options(num_returns=num_buckets).remote(key_cols, num_buckets, *g)
+        for g in groups
     ]
     if num_buckets == 1:
         return [parts]

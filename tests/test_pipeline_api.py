@@ -75,3 +75,41 @@ def test_full_chain_reference_shape(tmp_path):
     assert out.turns.iloc[0] == out.turns.max()
     # hot conversation must be on top
     assert out.conv_id.iloc[0] == "conv_00000000"
+
+
+def test_pipeline_sql_source_and_sink(tmp_path):
+    import sqlite3
+
+    import pyarrow as pa
+
+    from pipeflow_ray.pipeline import Pipeline
+    from pipeflow_ray.sources.sql import SqlQueryBuilder
+
+    db = str(tmp_path / "p.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE src (id INTEGER, v REAL)")
+    conn.executemany("INSERT INTO src VALUES (?,?)", [(i, i * 1.5) for i in range(100)])
+    conn.execute("CREATE TABLE dst (id INTEGER, v REAL)")
+    conn.commit()
+    conn.close()
+    factory = lambda: sqlite3.connect(db)  # noqa: E731
+
+    p = Pipeline.from_sql("SELECT id, v FROM src WHERE id < ? ORDER BY id", factory, (10,))
+    assert p.count() == 10
+    q = SqlQueryBuilder("src").where("id >= ?", 90).order_by("id")
+    p2 = Pipeline.from_sql_builder(q, factory, page_size=4)
+    assert sorted(p2.to_pandas().id.tolist()) == list(range(90, 100))
+    written = p2.to_sql("dst", factory)
+    assert written == 10
+
+
+def test_pipeline_join_asof(tmp_path):
+    import pyarrow as pa
+
+    from pipeflow_ray.pipeline import Pipeline
+
+    left = Pipeline.from_arrow(pa.table({"k": ["a", "a", "b"], "ts": [5, 10, 7]}))
+    right = Pipeline.from_arrow(pa.table({"k": ["a", "b"], "ts": [4, 9], "val": [1, 2]}))
+    out = left.join_asof(right, key="k", ts_col="ts", num_buckets=4).to_pandas()
+    out = out.sort_values(["k", "ts"]).reset_index(drop=True)
+    assert out.val.fillna(-1).tolist() == [1, 1, -1]  # b@7 has no prior right row
