@@ -75,6 +75,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "minhash_pairs_docs",
         "ann_topk",
         "hash_join_segment",
+        "streaming_join",
     ]
     out = {}
     for name in names:

@@ -444,8 +444,9 @@ class Pipeline:
         _wj(self._ds, path, options)
 
     def to_sql(self, table: str, connection_factory, upsert: bool = False,
-               batch_size: int = 4096) -> int:
+               upsert_keys: list[str] | None = None, batch_size: int = 4096) -> int:
         """Batched transactional SQL sink; returns rows written."""
         from pipeflow_ray.sources.sql import write_sql as _ws
 
-        return _ws(self._ds, table, connection_factory, upsert, batch_size)
+        return _ws(self._ds, table, connection_factory, upsert=upsert,
+                   upsert_keys=upsert_keys, batch_size=batch_size)

@@ -1001,6 +1001,39 @@ def asof_join_events(sf_dir):
 
 
 @q(
+    "streaming_join",
+    f"""SELECT u.conv_id, CAST(u.turn_idx AS BIGINT) AS turn_idx,
+               CAST(epoch_us(u.ts) AS BIGINT) AS user_ts_us,
+               CAST(epoch_us(r.ts) AS BIGINT) AS resp_ts_us,
+               CAST(length(coalesce(u.text, '')) AS BIGINT) AS user_chars,
+               CAST(length(coalesce(r.text, '')) AS BIGINT) AS resp_chars
+        FROM read_parquet('{_TP001}') u
+        JOIN read_parquet('{_TP001}') r
+          ON r.conv_id = u.conv_id AND r.turn_idx = u.turn_idx + 1
+        WHERE u.role = 'user' AND r.role IN ('assistant', 'tool')""",
+)
+def streaming_join(sf_dir):
+    """Arrival-order incremental turn-response join (actor-held pending-turn
+    state, watermark eviction). With eviction gap ≥ the fixture's 2h
+    disorder, the incremental result equals the batch join — which is what
+    the SQL oracle states."""
+    from pipeflow_ray.pipelines.streaming import StreamingJoinRunner
+
+    pairs, _metrics = StreamingJoinRunner(lateness_s=3 * 3600.0, num_buckets=8).run(_tp(sf_dir))
+    out = pd.DataFrame(
+        {
+            "conv_id": pairs.conv_id,
+            "turn_idx": pairs.turn_idx.astype(np.int64),
+            "user_ts_us": pairs.user_ts_us.astype(np.int64),
+            "resp_ts_us": pairs.resp_ts_us.astype(np.int64),
+            "user_chars": pairs.user_chars.astype(np.int64),
+            "resp_chars": pairs.resp_chars.astype(np.int64),
+        }
+    )
+    return out
+
+
+@q(
     "transcripts_sliding",
     f"""WITH b AS (SELECT conv_id,
                           CAST(epoch_us(ts) // 3600000000 AS BIGINT) * 3600 AS w

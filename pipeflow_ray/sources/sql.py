@@ -202,25 +202,58 @@ class SqlQueryBuilder:
         return ray.data.from_arrow_refs(refs)
 
 
+def read_single(sql: str, connection_factory: Callable, params: tuple | list = ()) -> dict | None:
+    """First row as a dict, or None (``SqlReader.ReadSingle``,
+    ``Sql/SqlReader.cs:92-99``). Driver-side single fetch."""
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        cur.execute(sql, tuple(params)) if params else cur.execute(sql)
+        row = cur.fetchone()
+        if row is None:
+            return None
+        cols = [d[0] for d in cur.description]
+        return dict(zip(cols, row))
+    finally:
+        conn.close()
+
+
 def write_sql(
     ds: ray.data.Dataset,
     table: str,
     connection_factory: Callable,
     upsert: bool = False,
+    upsert_keys: list[str] | None = None,
     batch_size: int = 4096,
 ) -> int:
     """Batched INSERT (one transaction per batch, rollback on error —
-    ``Sql/SqlWriter.cs:69-100``); ``upsert=True`` → ``INSERT OR REPLACE``
-    keyed on the table's primary key (``PostgreSqlWriter.cs:220-247``).
+    ``Sql/SqlWriter.cs:69-100``). Upsert forms
+    (``PostgreSqlWriter.cs:220-247``):
+
+    - ``upsert=True`` alone → ``INSERT OR REPLACE`` keyed on the table's
+      primary key (SQLite shorthand);
+    - ``upsert_keys=[...]`` → ``ON CONFLICT (keys) DO UPDATE SET`` for every
+      non-key column — the reference's PostgreSQL upsert, also valid on
+      SQLite ≥ 3.24.
+
     Returns rows written."""
-    verb = "INSERT OR REPLACE" if upsert else "INSERT"
 
     def _write(batch: pd.DataFrame) -> pd.DataFrame:
         conn = connection_factory()
         try:
-            cols = ", ".join(batch.columns)
-            ph = ", ".join(["?"] * len(batch.columns))
-            sql = f"{verb} INTO {table} ({cols}) VALUES ({ph})"
+            cols = list(batch.columns)
+            col_sql = ", ".join(cols)
+            ph = ", ".join(["?"] * len(cols))
+            if upsert_keys:
+                updates = ", ".join(
+                    f"{c} = excluded.{c}" for c in cols if c not in upsert_keys
+                )
+                keys = ", ".join(upsert_keys)
+                sql = (f"INSERT INTO {table} ({col_sql}) VALUES ({ph}) "
+                       f"ON CONFLICT ({keys}) DO UPDATE SET {updates}")
+            else:
+                verb = "INSERT OR REPLACE" if upsert else "INSERT"
+                sql = f"{verb} INTO {table} ({col_sql}) VALUES ({ph})"
             cur = conn.cursor()
             try:
                 cur.executemany(sql, batch.itertuples(index=False, name=None))

@@ -241,3 +241,67 @@ def test_json_file_camel_case_indent_append(tmp_path):
     assert n2 == 2 and len(json.load(open(f))) == 2
     assert camel_case("already") == "already"
     assert camel_case("two_words_here") == "twoWordsHere"
+
+
+def test_sql_read_single_and_keyed_upsert(tmp_path):
+    from pipeflow_ray.sources.sql import read_single
+
+    path = str(tmp_path / "u.db")
+    conn = sqlite3.connect(path)
+    conn.execute("CREATE TABLE kv (k INTEGER PRIMARY KEY, name TEXT, score INTEGER)")
+    conn.executemany("INSERT INTO kv VALUES (?,?,?)", [(1, "a", 10), (2, "b", 20)])
+    conn.commit()
+    conn.close()
+    factory = lambda: sqlite3.connect(path)  # noqa: E731
+
+    assert read_single("SELECT * FROM kv WHERE k = ?", factory, (2,)) == {
+        "k": 2, "name": "b", "score": 20}
+    assert read_single("SELECT * FROM kv WHERE k = ?", factory, (99,)) is None
+
+    # ON CONFLICT (k) DO UPDATE: existing row updated, new row inserted
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 3], pa.int64()), "name": ["B2", "c"],
+                  "score": pa.array([99, 30], pa.int64())})
+    )
+    n = write_sql(ds, "kv", factory, upsert_keys=["k"])
+    assert n == 2
+    rows = sorted(sqlite3.connect(path).execute("SELECT k, name, score FROM kv"))
+    assert rows == [(1, "a", 10), (2, "B2", 99), (3, "c", 30)]
+
+
+def test_hash_exchange_partition_property():
+    """Property: hash_exchange is a PARTITION — every row lands in exactly
+    one bucket, same-key rows land in the same bucket, and the multiset of
+    rows is preserved — regardless of upstream block layout."""
+    import numpy as np
+
+    from pipeflow_ray.stages.core import hash_exchange
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    t = pa.table({
+        "k": pa.array([f"key{int(x):03d}" for x in rng.integers(0, 97, n)]),
+        "v": pa.array(rng.integers(0, 1 << 40, n), pa.int64()),
+    })
+    for blocks in (1, 7, 64):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        buckets = hash_exchange(ds, ["k"], 16)
+        per_bucket = [
+            pa.concat_tables([x for x in ray.get(refs) if x.num_rows])
+            if any(x.num_rows for x in ray.get(refs)) else None
+            for refs in buckets
+        ]
+        tables = [b for b in per_bucket if b is not None]
+        total = sum(b.num_rows for b in tables)
+        assert total == n
+        # same key never appears in two buckets
+        seen = {}
+        for i, b in enumerate(tables):
+            for k in set(b["k"].to_pylist()):
+                assert seen.setdefault(k, i) == i
+        # multiset preserved
+        import pandas as pd
+
+        got = pa.concat_tables(tables).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        exp = t.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
