@@ -918,6 +918,51 @@ def embedding_neardup(sf_dir):
     return pairs.map_batches(_fmt, batch_format="pyarrow")
 
 
+_CURATION_ORACLE = f"""
+WITH q AS ({_QUAL_SQL.replace('FROM documents', 'FROM documents', 1)}),
+keep_exact AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))),
+near AS (
+  {_MINHASH_ORACLE.replace('>= 0.7', '>= 0.9')}
+)
+SELECT d.doc_id FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+WHERE q.quality > 0.5
+  AND d.doc_id IN (SELECT doc_id FROM keep_exact)
+  AND d.doc_id NOT IN (SELECT id_b FROM near)"""
+
+
+@q("curation_docs", _CURATION_ORACLE)
+def curation_docs(sf_dir):
+    """End-to-end corpus curation, composed from the engine's own operators:
+    quality scoring → exact dedup (min-id survives) → MinHash near-dup
+    removal (the higher id of each ≥0.9 pair drops). The oracle recomputes
+    every stage in SQL — one query exercising scoring, fingerprint dedup and
+    LSH near-dup in composition."""
+    from pipeflow_ray.functions.dedup import exact_dedup, minhash_dedup_pairs
+    from pipeflow_ray.functions.text import QualityScore
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    # near-dup losers (higher id of each pair) — small id list, collected once
+    pairs = minhash_dedup_pairs(docs, threshold=0.9)
+    losers = set(pairs.to_pandas().id_b.tolist()) if pairs.count() else set()
+    loser_arr = pa.array(sorted(losers), pa.int64())
+
+    survivors = exact_dedup(docs)  # min doc_id per normalized fingerprint
+    scored = survivors.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 4))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater(t["quality"], 0.5),
+            pc.invert(pc.is_in(t["doc_id"], value_set=loser_arr)),
+        )
+        return pa.table({"doc_id": t.filter(mask)["doc_id"]})
+
+    return scored.map_batches(_keep, batch_format="pyarrow")
+
+
 @q("ivf_topk")
 def ivf_topk_query(sf_dir):
     from pipeflow_ray.functions.similarity import ivf_topk
