@@ -151,6 +151,33 @@ def _split_task(key_cols: list[str], num_buckets: int, *tbls: pa.Table):
 
 
 @ray.remote
+def _split_level_task(key_cols: list[str], num_buckets: int, fanout: int,
+                      level: int, *tbls: pa.Table):
+    """One level of the HIERARCHICAL exchange. The final bucket of a row is
+    ``b = hash(key) % num_buckets``; level 0 routes by group ``b // fanout``
+    (num_returns = ⌈num_buckets/fanout⌉), level 1 routes a group's rows by
+    ``b % fanout`` (num_returns = fanout). Both levels share the SAME full
+    hash, so the two rounds compose into the flat partition."""
+    n_out = (num_buckets + fanout - 1) // fanout if level == 0 else fanout
+    nonempty = [t for t in tbls if t.num_rows]
+    if not nonempty:
+        tbl = max(tbls, key=lambda t: t.num_columns)
+        out = tuple(tbl.slice(0, 0) for _ in range(n_out))
+        return out if n_out > 1 else out[0]
+    tbl = nonempty[0] if len(nonempty) == 1 else pa.concat_tables(
+        nonempty, promote_options="default")
+    df = tbl.select(key_cols).to_pandas()
+    b = pd.util.hash_pandas_object(df, index=False).to_numpy() % num_buckets
+    idx = (b // fanout) if level == 0 else (b % fanout)
+    order = np.argsort(idx, kind="stable")
+    t = tbl.take(pa.array(order))
+    xs = idx[order]
+    bounds = np.searchsorted(xs, np.arange(n_out + 1))
+    out = tuple(t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_out))
+    return out if n_out > 1 else out[0]
+
+
+@ray.remote
 def _reduce_task(fn, as_pandas: bool, *slices):
     """Concat one bucket's slices and apply the (ray.put-shipped) UDF."""
     slices = [t for t in slices if t.num_rows]
@@ -223,7 +250,12 @@ def grouped_by_bucket(
     return ds.groupby("__bucket").map_groups(_wrap, batch_format=batch_format)
 
 
-def hash_exchange(ds, key_cols: list[str], num_buckets: int | None = None):
+MAX_FLAT_BUCKETS = 4096  # beyond this, slice-object count (tasks × buckets)
+# outgrows Ray's comfortable range — switch to the two-level exchange
+
+
+def hash_exchange(ds, key_cols: list[str], num_buckets: int | None = None,
+                  max_flat_buckets: int = MAX_FLAT_BUCKETS):
     """Explicit map-side hash exchange built on raw Ray tasks: each upstream
     block is split once into per-bucket slices (single stable argsort on the
     key hash, zero-copy slices); the caller reduces each bucket from its
@@ -245,15 +277,42 @@ def hash_exchange(ds, key_cols: list[str], num_buckets: int | None = None):
     refs = ds.to_arrow_refs()
     if not refs:
         return [[] for _ in range(num_buckets)]
-    # coalesce tiny upstream blocks: at most num_buckets split tasks, each
+    # coalesce tiny upstream blocks: bounded split-task count, each task
     # handling a contiguous group of blocks (refs resolve to values inside
     # the task; top-level varargs, per the Ray ref-resolution rule)
-    n_tasks = min(len(refs), num_buckets)
+    n_tasks = min(len(refs), min(num_buckets, max_flat_buckets))
     groups = [list(g) for g in np.array_split(np.array(refs, dtype=object), n_tasks)]
-    parts = [
-        _split_task.options(num_returns=num_buckets).remote(key_cols, num_buckets, *g)
+
+    if num_buckets <= max_flat_buckets:
+        parts = [
+            _split_task.options(num_returns=num_buckets).remote(key_cols, num_buckets, *g)
+            for g in groups
+        ]
+        if num_buckets == 1:
+            return [parts]
+        return [[p[j] for p in parts] for j in range(num_buckets)]
+
+    # hierarchical two-level exchange (the >4k-bucket cluster path): route by
+    # bucket-group first, then by bucket within the group — object count
+    # drops from tasks × buckets to tasks × √buckets + buckets.
+    import math
+
+    fanout = max(2, int(math.isqrt(num_buckets)))
+    n_groups = (num_buckets + fanout - 1) // fanout
+    level0 = [
+        _split_level_task.options(num_returns=n_groups).remote(
+            key_cols, num_buckets, fanout, 0, *g)
         for g in groups
     ]
-    if num_buckets == 1:
-        return [parts]
-    return [[p[j] for p in parts] for j in range(num_buckets)]
+    level0 = [p if n_groups > 1 else [p] for p in level0]
+    out: list[list] = [None] * num_buckets
+    for g in range(n_groups):
+        n_ret = fanout
+        sub = _split_level_task.options(num_returns=n_ret).remote(
+            key_cols, num_buckets, fanout, 1, *[p[g] for p in level0])
+        sub = sub if n_ret > 1 else [sub]
+        for j in range(fanout):
+            b = g * fanout + j
+            if b < num_buckets:
+                out[b] = [sub[j]]
+    return out

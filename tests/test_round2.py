@@ -208,3 +208,40 @@ def test_default_buckets_floor():
     from pipeflow_ray.stages.core import DEFAULT_BUCKETS, default_buckets
 
     assert default_buckets() >= DEFAULT_BUCKETS
+
+
+def test_hierarchical_exchange_matches_flat():
+    """The two-level exchange (>max_flat_buckets path) must produce the SAME
+    bucket assignment as the flat exchange — bucket b holds exactly the rows
+    with hash(key) % num_buckets == b in both."""
+    import numpy as np
+
+    from pipeflow_ray.stages.core import hash_exchange
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    t = pa.table({
+        "k": pa.array([f"c{int(x):04d}" for x in rng.integers(0, 300, n)]),
+        "v": pa.array(rng.integers(0, 1 << 40, n), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(9)
+    nb = 50
+
+    def collect(buckets):
+        out = []
+        for refs in buckets:
+            tabs = [x for x in ray.get(list(refs)) if x.num_rows]
+            out.append(
+                pa.concat_tables(tabs).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+                if tabs else None
+            )
+        return out
+
+    flat = collect(hash_exchange(ds, ["k"], nb, max_flat_buckets=4096))
+    hier = collect(hash_exchange(ds, ["k"], nb, max_flat_buckets=8))  # force 2-level
+    assert len(flat) == len(hier) == nb
+    for b in range(nb):
+        if flat[b] is None:
+            assert hier[b] is None or len(hier[b]) == 0
+        else:
+            pd.testing.assert_frame_equal(flat[b], hier[b])
