@@ -208,8 +208,8 @@ def _attach_merge_task(n_pair_slices: int, pair_key: str, side_key: str,
     remote task (see stages/core.py on closure re-export hazards)."""
     p_slices, s_slices = slices[:n_pair_slices], slices[n_pair_slices:]
     ps = [t for t in p_slices if t.num_rows]
-    if not ps:
-        return None
+    if not ps or not s_slices:  # inner join: nothing to attach from an
+        return None             # empty (zero-block) side
     ss = [t for t in s_slices if t.num_rows]
     pdf = pa.concat_tables(ps, promote_options="default").to_pandas()
     if ss:
@@ -236,20 +236,17 @@ def attach_by_id(
     the distributed replacement for a driver-side lookup dict."""
     from pipeflow_ray.stages.core import hash_exchange
 
+    from pipeflow_ray.stages.core import _nrows_task
+
     pb = hash_exchange(pairs, [pair_key], num_buckets)
     sb = hash_exchange(side, [side_key], num_buckets)
     outs = [
         _attach_merge_task.remote(len(p), pair_key, side_key, attach_cols, suffix, *p, *s)
         for p, s in zip(pb, sb)
     ]
-    counts = ray.get([_count_task.remote(o) for o in outs])
+    counts = ray.get([_nrows_task.remote(o) for o in outs])
     refs = [o for o, n in zip(outs, counts) if n > 0]
     return ray.data.from_arrow_refs(refs) if refs else ray.data.from_items([])
-
-
-@ray.remote
-def _count_task(t) -> int:
-    return 0 if t is None else t.num_rows
 
 
 def _candidate_id_filter(pairs: ray.data.Dataset, id_col: str):
@@ -409,20 +406,22 @@ SIMHASH_MAX_TOKEN_CHARS = 16  # tokens truncated before hashing (both engines)
 
 
 def poly_token_hashes(tokens: np.ndarray) -> np.ndarray:
-    """64-bit polynomial hash per token: ``Σ byte_i · P^i  (mod 2^64)`` over
-    the first :data:`SIMHASH_MAX_TOKEN_CHARS` characters.
+    """64-bit polynomial hash per token: ``Σ codepoint_i · P^i  (mod 2^64)``
+    over the first :data:`SIMHASH_MAX_TOKEN_CHARS` characters.
 
-    Vectorized for a whole flat token array (one fixed-width byte matrix, one
-    uint64 matmul — wraparound IS the mod). Deliberately SQL-reproducible
-    (HUGEINT arithmetic % 2^64 in DuckDB) so the simhash gate query has an
-    independent oracle."""
+    Vectorized for a whole flat token array: the fixed-width 'U' dtype IS a
+    zero-padded UCS-4 codepoint matrix, so one view + one uint64 matmul does
+    every token (wraparound is the mod). Hashing CODEPOINTS at CHARACTER
+    positions — not UTF-8 bytes — is what makes this SQL-reproducible for
+    non-ASCII text too: DuckDB's ``ascii(substr(tok, i, 1))`` yields exactly
+    codepoint_i. For pure-ASCII tokens the two definitions coincide."""
     if len(tokens) == 0:
         return np.array([], np.uint64)
-    b = np.char.encode(tokens.astype(f"U{SIMHASH_MAX_TOKEN_CHARS}"), "utf-8")
-    w = max(b.dtype.itemsize, 1)
-    m = np.frombuffer(b.tobytes(), np.uint8).reshape(len(tokens), w).astype(np.uint64)
+    u = np.asarray(tokens, dtype=f"U{SIMHASH_MAX_TOKEN_CHARS}")
+    w = SIMHASH_MAX_TOKEN_CHARS
+    m = u.view(np.uint32).reshape(len(u), w).astype(np.uint64)
     powers = SIMHASH_POLY_P ** np.arange(w, dtype=np.uint64)  # wraps mod 2^64
-    return m @ powers  # NUL padding contributes 0·P^i
+    return m @ powers  # zero padding contributes 0·P^i
 
 
 class SimHasher:
@@ -478,8 +477,11 @@ def simhash_dup_pairs(
     """SimHash near-dup with EXACT recall: the 64 bits are split into
     ``max_hamming + 1`` bands (pigeonhole — ≤ max_hamming differing bits
     leave at least one band identical, so every qualifying pair shares a
-    bucket), then candidates get an exact in-bucket Hamming verify."""
-    bands = num_bands if num_bands is not None else min(max_hamming + 1, 16)
+    bucket), then candidates get an exact in-bucket Hamming verify. The
+    guarantee needs max_hamming + 1 ≤ 64 bands of ≥ 1 bit."""
+    if max_hamming >= 64:
+        raise ValueError("max_hamming must be < 64 (64-bit signatures)")
+    bands = num_bands if num_bands is not None else min(max_hamming + 1, 64)
     bounds = np.linspace(0, 64, bands + 1).astype(np.int64)
     sigs = ds.map_batches(
         SimHasher, fn_constructor_args=(text_col, id_col), batch_format="pyarrow", concurrency=(1, 8)

@@ -24,6 +24,7 @@ they land in the ``late`` side output (reference has no late-data concept;
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -438,16 +439,18 @@ class StreamingSlidingRunner(StreamingTumblingRunner):
                 if not len(df):
                     continue
                 watermark_us = max(watermark_us, int(df.ts_us.max()) - self.lateness_us)
-                # replicate into the k containing windows (vectorized explode)
+                # replicate into the k containing windows: with width a
+                # multiple of slide, EVERY row is inside all k shifted
+                # windows (ws + width = base + (k-i)·slide > ts), so the
+                # replication is an unconditional tile — no mask, no copies
                 base = df.ts_us.to_numpy() // self.slide_us * self.slide_us
-                reps = []
-                for i in range(k):
-                    ws = base - i * self.slide_us
-                    valid = df.ts_us.to_numpy() < ws + self.width_us
-                    sub = df[valid].copy()
-                    sub["ws"] = ws[valid]
-                    reps.append(sub)
-                rep = pd.concat(reps, ignore_index=True)
+                rep = pd.DataFrame(
+                    {
+                        "key": np.tile(df.key.to_numpy(), k),
+                        "ws": np.concatenate([base - i * self.slide_us for i in range(k)]),
+                        "v": np.tile(df.v.to_numpy(), k),
+                    }
+                )
                 partials = (
                     rep.groupby(["key", "ws"], sort=False)
                     .agg(n=("v", "size"), s=("v", "sum"))
@@ -756,20 +759,24 @@ class CheckpointingSessionRunner(StreamingSessionRunner):
                 commit_seq = _commit_drained(commit_seq)
                 _checkpoint(idx + 1)
 
-        # end of stream: flush open state, commit the final partition
-        parts = [p for p in ray.get([a.flush.remote() for a in actors]) if len(p)]
-        body = (
-            pd.concat(parts, ignore_index=True)
-            if parts
-            else pd.DataFrame(columns=["conv_id", "start_us", "end_us", "n_turns", "n_chars"])
-        )
-        commit_partition(
-            pa.Table.from_pandas(body, preserve_index=False), out_dir, commit_seq,
-            ts_col=None, lineage={"input": parquet_path, "kind": "stream-final"},
-        )
-        _checkpoint(idx + 1)
+        # end of stream: flush open state + final commit only if something was
+        # actually replayed — a re-run of a completed job skips every batch
+        # and must not flush restored state into a fresh partition
+        if idx >= start_batch:
+            parts = [p for p in ray.get([a.flush.remote() for a in actors]) if len(p)]
+            body = (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame(columns=["conv_id", "start_us", "end_us", "n_turns", "n_chars"])
+            )
+            commit_partition(
+                pa.Table.from_pandas(body, preserve_index=False), out_dir, commit_seq,
+                ts_col=None, lineage={"input": parquet_path, "kind": "stream-final"},
+            )
+            commit_seq += 1
+            _checkpoint(idx + 1)
         return {"late_rows": late_rows, "final_watermark_us": int(watermark_us),
-                "partitions": commit_seq + 1}
+                "partitions": commit_seq}
 
 
 # ---------------------------------------------------------------------------
@@ -1083,9 +1090,13 @@ class CheckpointingJoinRunner(StreamingJoinRunner):
                 commit_seq = _commit_drained(commit_seq)
                 _checkpoint(idx + 1)
 
-        # end of stream: commit the final partition, checkpoint the position
-        commit_seq = _commit_drained(commit_seq)
-        _checkpoint(idx + 1)
+        # end of stream: final commit + checkpoint only if something was
+        # actually replayed — a re-run of an already-completed job skips
+        # every batch and must not accumulate empty partitions (while the
+        # post-final seq increment keeps future commits collision-free)
+        if idx >= start_batch:
+            commit_seq = _commit_drained(commit_seq)
+            _checkpoint(idx + 1)
         open_state = sum(ray.get([a.state_size.remote() for a in actors]))
         return {"final_watermark_us": int(watermark_us), "partitions": commit_seq,
                 "open_state": open_state}

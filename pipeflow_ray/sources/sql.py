@@ -38,7 +38,13 @@ def read_sql(sql: str, connection_factory: Callable, **kw) -> ray.data.Dataset:
 @ray.remote
 def _fetch_query_task(connection_factory: Callable, sql: str, params: tuple) -> pa.Table:
     """Execute one (possibly parameterized / paged) query inside a Ray task
-    and return the result as an Arrow table."""
+    and return the result as an Arrow table.
+
+    A zero-row result has null-typed columns (DBAPI cursor.description
+    carries no portable types); callers that may concat such blocks with
+    typed ones rely on Arrow's permissive null promotion. The builder's
+    paged read sizes pages from COUNT(*) so empty pages only occur if the
+    table shrinks mid-read."""
     conn = connection_factory()
     try:
         cur = conn.cursor()
@@ -167,38 +173,47 @@ class SqlQueryBuilder:
         connection_factory: Callable,
         page_size: int = 10_000,
         max_parallel_pages: int = 64,
+        unique_key: str | None = None,
     ) -> ray.data.Dataset:
         """Paged partitioned read of the pushed-down query: a COUNT(*) sizes
         the page range, then every ``LIMIT page_size OFFSET k·page_size``
         page is fetched by its own Ray task — the parallel form of the
         reference's sequential page loop
-        (``QueryablePipelineBuilder.cs:284-353``). Deterministic pages need
-        an ``order_by``; without one the builder orders by the first selected
-        column."""
-        if not self._order:
-            first = self._select[0] if self._select else "1"
-            self.order_by(first)
-        total = self.count(connection_factory)
-        if self._offset:
-            total = max(0, total - self._offset)
-        if self._limit is not None:
-            total = min(total, self._limit)
-        if total == 0:
-            return ray.data.from_items([])
-        base_offset = self._offset or 0
-        n_pages = min((total + page_size - 1) // page_size, max_parallel_pages)
-        # large result + capped pages → grow the page instead of truncating
-        eff_page = (total + n_pages - 1) // n_pages
-        saved = (self._limit, self._offset)
-        refs = []
+        (``QueryablePipelineBuilder.cs:284-353``).
+
+        LIMIT/OFFSET pages are only a consistent partition of the result
+        under a TOTAL order: pass ``unique_key`` (a unique column, e.g. the
+        primary key) as the tiebreaker — it is appended to the ORDER BY.
+        Without one, the builder orders by the existing order_by (or the
+        first selected column) and ties ordered differently by independent
+        page queries can duplicate/drop rows; prefer ``unique_key``. The
+        builder itself is left unmutated."""
+        saved = (self._limit, self._offset, list(self._order))
         try:
+            if not self._order:
+                first = self._select[0] if self._select else "1"
+                self.order_by(first)
+            if unique_key is not None:
+                self.order_by(unique_key)
+            total = self.count(connection_factory)
+            if self._offset:
+                total = max(0, total - self._offset)
+            if self._limit is not None:
+                total = min(total, self._limit)
+            if total == 0:
+                return ray.data.from_items([])
+            base_offset = self._offset or 0
+            n_pages = min((total + page_size - 1) // page_size, max_parallel_pages)
+            # large result + capped pages → grow the page instead of truncating
+            eff_page = (total + n_pages - 1) // n_pages
+            refs = []
             for k in range(n_pages):
                 self._limit = min(eff_page, total - k * eff_page)
                 self._offset = base_offset + k * eff_page
                 sql, params = self.to_sql()
                 refs.append(_fetch_query_task.remote(connection_factory, sql, params))
         finally:
-            self._limit, self._offset = saved
+            self._limit, self._offset, self._order = saved
         return ray.data.from_arrow_refs(refs)
 
 

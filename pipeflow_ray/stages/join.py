@@ -121,6 +121,12 @@ def _hash_join_merge_task(n_left: int, on_cols: list[str], how: str, suffix: str
         return None
     if not rs and how in ("inner", "right"):
         return None
+    if not l_slices or not r_slices:
+        # a zero-BLOCK side (upstream empty dataset): no slice carries its
+        # schema, so the missing side's columns cannot be synthesized — emit
+        # the surviving side unchanged (outer/one-sided semantics)
+        keep = ls or rs
+        return pa.concat_tables(keep, promote_options="default") if keep else None
     lt = pa.concat_tables(ls, promote_options="default") if ls else max(
         l_slices, key=lambda t: t.num_columns)
     rt = pa.concat_tables(rs, promote_options="default") if rs else max(
@@ -188,6 +194,10 @@ def _asof_merge_task(n_left: int, key: str, ts_col: str, direction: str, suffix:
     ldf = pa.concat_tables(ls, promote_options="default").to_pandas().sort_values(
         ts_col, kind="mergesort"
     )
+    if not r_slices:
+        # zero-BLOCK right side: no slice carries the right schema — the
+        # as-of result is the left rows with no right columns to attach
+        return pa.Table.from_pandas(ldf, preserve_index=False)
     if rs:
         rdf = pa.concat_tables(rs, promote_options="default").to_pandas().sort_values(
             ts_col, kind="mergesort"
@@ -203,9 +213,7 @@ def _asof_merge_task(n_left: int, key: str, ts_col: str, direction: str, suffix:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-@ray.remote
-def _nrows_task(t):
-    return 0 if t is None else t.num_rows
+from pipeflow_ray.stages.core import _nrows_task  # shared row-count task
 
 
 def asof_join(

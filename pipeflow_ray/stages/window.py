@@ -35,11 +35,16 @@ def _floor_ts(ts: "pa.ChunkedArray", width_us: int) -> pa.Array:
     """Floor timestamp[us] to a window boundary. numpy ``//`` is true floor
     division, so pre-1970 (negative-epoch) timestamps round DOWN like the
     streaming and flagship paths (int64 ``pc.divide`` truncates toward zero —
-    ADVICE r1)."""
+    ADVICE r1). Null timestamps yield null window starts (the numpy
+    round-trip surfaces them as NaN — mask them back to nulls)."""
     i = ts.cast(pa.int64())
     if isinstance(i, pa.ChunkedArray):
         i = i.combine_chunks()
     arr = i.to_numpy(zero_copy_only=False)
+    if arr.dtype.kind == "f":  # nulls present → float64 with NaN
+        mask = np.isnan(arr)
+        vals = np.where(mask, 0, arr).astype(np.int64) // width_us * width_us
+        return pa.array(vals, pa.int64(), mask=mask).cast(pa.timestamp("us"))
     return pa.array(arr // width_us * width_us, pa.int64()).cast(pa.timestamp("us"))
 
 

@@ -372,3 +372,38 @@ def test_join_checkpoint_resume_midstream_exactly_once(transcripts_path, tmp_pat
     )
     plain = plain.sort_values(key).reset_index(drop=True)[full.columns.tolist()]
     pd.testing.assert_frame_equal(resumed, plain, check_dtype=False)
+
+
+def test_checkpoint_reruns_are_noops(transcripts_path, tmp_path):
+    """Re-running an already-completed checkpointed job must replay nothing,
+    commit nothing new, and leave the committed output identical (no empty
+    partitions accumulating, no re-flushed state)."""
+    from pipeflow_ray.pipelines.streaming import (
+        CheckpointingJoinRunner,
+        CheckpointingSessionRunner,
+    )
+    from pipeflow_ray.state.manifest import completed_partitions, read_committed
+
+    s_dir = str(tmp_path / "s")
+    r = CheckpointingSessionRunner(gap_s=1800.0, lateness_s=3 * 3600.0, num_buckets=2)
+    m1 = r.run(transcripts_path, s_dir, micro_batch_rows=256, checkpoint_every=4)
+    n_parts = len(completed_partitions(s_dir))
+    rows1 = read_committed(s_dir).num_rows
+    m2 = CheckpointingSessionRunner(gap_s=1800.0, lateness_s=3 * 3600.0, num_buckets=2).run(
+        transcripts_path, s_dir, micro_batch_rows=256, checkpoint_every=4
+    )
+    assert len(completed_partitions(s_dir)) == n_parts
+    assert read_committed(s_dir).num_rows == rows1
+    assert m1["partitions"] == m2["partitions"]
+
+    j_dir = str(tmp_path / "j")
+    jr = CheckpointingJoinRunner(lateness_s=3 * 3600.0, num_buckets=2)
+    jm1 = jr.run(transcripts_path, j_dir, micro_batch_rows=256, checkpoint_every=4)
+    jn = len(completed_partitions(j_dir))
+    jrows = read_committed(j_dir).num_rows
+    jm2 = CheckpointingJoinRunner(lateness_s=3 * 3600.0, num_buckets=2).run(
+        transcripts_path, j_dir, micro_batch_rows=256, checkpoint_every=4
+    )
+    assert len(completed_partitions(j_dir)) == jn
+    assert read_committed(j_dir).num_rows == jrows
+    assert jm1["partitions"] == jm2["partitions"]
