@@ -234,9 +234,7 @@ def attach_by_id(
 ) -> ray.data.Dataset:
     """Co-partitioned hash join attaching side columns to pair rows on an id —
     the distributed replacement for a driver-side lookup dict."""
-    from pipeflow_ray.stages.core import hash_exchange
-
-    from pipeflow_ray.stages.core import _nrows_task
+    from pipeflow_ray.stages.core import _nrows_task, hash_exchange
 
     pb = hash_exchange(pairs, [pair_key], num_buckets)
     sb = hash_exchange(side, [side_key], num_buckets)

@@ -669,6 +669,7 @@ class CheckpointingSessionRunner(StreamingSessionRunner):
         watermark_us = -(1 << 62)
         late_rows = 0
         commit_seq = 0
+        finalized = False  # did a previous run already flush + commit the final partition?
         if os.path.exists(ck_json):
             with open(ck_json) as f:
                 ck = json.load(f)
@@ -676,6 +677,7 @@ class CheckpointingSessionRunner(StreamingSessionRunner):
             watermark_us = ck["watermark_us"]
             late_rows = ck["late_rows"]
             commit_seq = ck["commit_seq"]
+            finalized = ck.get("finalized", False)
             state_df = pd.read_parquet(os.path.join(ck_dir, ck["state_file"]))
             bucket = pd.util.hash_array(state_df.conv_id.to_numpy(dtype=object)) % self.num_buckets
             ray.get([
@@ -697,7 +699,7 @@ class CheckpointingSessionRunner(StreamingSessionRunner):
             )
             return seq + 1
 
-        def _checkpoint(next_batch: int) -> None:
+        def _checkpoint(next_batch: int, final: bool = False) -> None:
             states = pd.concat(
                 [s for s in ray.get([a.dump_state.remote() for a in actors])],
                 ignore_index=True,
@@ -708,7 +710,7 @@ class CheckpointingSessionRunner(StreamingSessionRunner):
             os.replace(tmp, os.path.join(ck_dir, state_file))
             rec = {"next_batch": next_batch, "watermark_us": watermark_us,
                    "late_rows": late_rows, "commit_seq": commit_seq,
-                   "state_file": state_file}
+                   "state_file": state_file, "finalized": final}
             tmpj = ck_json + ".tmp"
             with open(tmpj, "w") as f:
                 json.dump(rec, f)
@@ -759,10 +761,12 @@ class CheckpointingSessionRunner(StreamingSessionRunner):
                 commit_seq = _commit_drained(commit_seq)
                 _checkpoint(idx + 1)
 
-        # end of stream: flush open state + final commit only if something was
-        # actually replayed — a re-run of a completed job skips every batch
-        # and must not flush restored state into a fresh partition
-        if idx >= start_batch:
+        # end of stream: flush open state + final commit unless a previous
+        # run ALREADY finalized (explicit checkpoint marker — "nothing
+        # replayed" alone is not completion: a crash exactly between a
+        # last-batch-aligned barrier and the final flush leaves restored open
+        # state that still must be committed on resume)
+        if idx >= start_batch or not finalized:
             parts = [p for p in ray.get([a.flush.remote() for a in actors]) if len(p)]
             body = (
                 pd.concat(parts, ignore_index=True)
@@ -774,7 +778,7 @@ class CheckpointingSessionRunner(StreamingSessionRunner):
                 ts_col=None, lineage={"input": parquet_path, "kind": "stream-final"},
             )
             commit_seq += 1
-            _checkpoint(idx + 1)
+            _checkpoint(idx + 1, final=True)
         return {"late_rows": late_rows, "final_watermark_us": int(watermark_us),
                 "partitions": commit_seq}
 
@@ -1003,12 +1007,14 @@ class CheckpointingJoinRunner(StreamingJoinRunner):
         start_batch = 0
         watermark_us = -(1 << 62)
         commit_seq = 0
+        finalized = False  # did a previous run already commit the final partition?
         if os.path.exists(ck_json):
             with open(ck_json) as f:
                 ck = json.load(f)
             start_batch = ck["next_batch"]
             watermark_us = ck["watermark_us"]
             commit_seq = ck["commit_seq"]
+            finalized = ck.get("finalized", False)
             state_df = pd.read_parquet(os.path.join(ck_dir, ck["state_file"]))
             bucket = pd.util.hash_array(state_df.conv_id.to_numpy(dtype=object)) % self.num_buckets
             ray.get([
@@ -1031,7 +1037,7 @@ class CheckpointingJoinRunner(StreamingJoinRunner):
             )
             return seq + 1
 
-        def _checkpoint(next_batch: int) -> None:
+        def _checkpoint(next_batch: int, final: bool = False) -> None:
             states = pd.concat(
                 ray.get([a.dump_state.remote() for a in actors]), ignore_index=True
             )
@@ -1040,7 +1046,8 @@ class CheckpointingJoinRunner(StreamingJoinRunner):
             states.to_parquet(tmp)
             os.replace(tmp, os.path.join(ck_dir, state_file))
             rec = {"next_batch": next_batch, "watermark_us": watermark_us,
-                   "commit_seq": commit_seq, "state_file": state_file}
+                   "commit_seq": commit_seq, "state_file": state_file,
+                   "finalized": final}
             tmpj = ck_json + ".tmp"
             with open(tmpj, "w") as f:
                 json.dump(rec, f)
@@ -1090,13 +1097,14 @@ class CheckpointingJoinRunner(StreamingJoinRunner):
                 commit_seq = _commit_drained(commit_seq)
                 _checkpoint(idx + 1)
 
-        # end of stream: final commit + checkpoint only if something was
-        # actually replayed — a re-run of an already-completed job skips
-        # every batch and must not accumulate empty partitions (while the
-        # post-final seq increment keeps future commits collision-free)
-        if idx >= start_batch:
+        # end of stream: final commit + checkpoint unless a previous run
+        # ALREADY finalized (explicit marker, not inferred from idx — a
+        # crash between a last-batch-aligned barrier and the final commit
+        # must still finalize on resume; a completed job's re-run must not
+        # accumulate empty partitions)
+        if idx >= start_batch or not finalized:
             commit_seq = _commit_drained(commit_seq)
-            _checkpoint(idx + 1)
+            _checkpoint(idx + 1, final=True)
         open_state = sum(ray.get([a.state_size.remote() for a in actors]))
         return {"final_watermark_us": int(watermark_us), "partitions": commit_seq,
                 "open_state": open_state}

@@ -193,7 +193,11 @@ class SqlQueryBuilder:
             if not self._order:
                 first = self._select[0] if self._select else "1"
                 self.order_by(first)
-            if unique_key is not None:
+            if unique_key is not None and unique_key not in [
+                o.removesuffix(" DESC") for o in self._order
+            ]:
+                # note: with distinct() some engines (PostgreSQL) require the
+                # ORDER BY key in the select list — include it there too
                 self.order_by(unique_key)
             total = self.count(connection_factory)
             if self._offset:

@@ -156,8 +156,13 @@ def hash_join(
     engine="exchange" (default): both sides through ONE
     :func:`~pipeflow_ray.stages.core.hash_exchange` each (map-side split, no
     sort barrier), then a vectorized per-bucket pandas merge with a stable
-    output schema. engine="ray" delegates to the built-in
-    ``Dataset.join``."""
+    output schema. engine="ray" delegates to the built-in ``Dataset.join``.
+
+    Edge case: a ZERO-BLOCK side (an upstream dataset with no blocks at all,
+    e.g. ``from_items([])``) carries no schema anywhere, so outer-ish joins
+    emit the surviving side's rows WITHOUT the missing side's columns; an
+    empty side that still has schema-bearing blocks yields the usual
+    all-null columns."""
     on_cols = [on] if isinstance(on, str) else list(on)
     if engine == "ray":
         if hasattr(left, "join"):

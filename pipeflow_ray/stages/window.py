@@ -71,16 +71,22 @@ def assign_sliding(width_s: float, slide_s: float, ts_col: str = "ts", out: str 
 
     def _apply(t: pa.Table) -> pa.Table:
         ts = t.column(ts_col).cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
-        base = (ts // slide_us) * slide_us  # latest window start containing ts
+        null_mask = np.isnan(ts) if ts.dtype.kind == "f" else np.zeros(len(ts), bool)
+        base = (np.where(null_mask, 0, ts) // slide_us) * slide_us  # latest window start
         pieces = []
+        nonnull = ~null_mask
+        body = t if nonnull.all() else t.filter(pa.array(nonnull))
         for i in range(k):
-            ws = base - i * slide_us
-            valid = ts < ws + width_us  # ws <= ts is true by construction
-            idx = np.nonzero(valid)[0]
-            piece = t.take(pa.array(idx)) if len(idx) < t.num_rows else t
+            ws = (base - i * slide_us)[nonnull]
             pieces.append(
-                piece.append_column(out, pa.array(ws[valid], type=pa.int64()).cast(pa.timestamp("us")))
+                body.append_column(out, pa.array(ws, type=pa.int64()).cast(pa.timestamp("us")))
             )
+        if null_mask.any():
+            # null event times are unassignable: emitted ONCE with a null
+            # window_start — same null propagation as the tumbling path
+            nt = t.filter(pa.array(null_mask))
+            pieces.append(nt.append_column(
+                out, pa.array([None] * nt.num_rows, pa.timestamp("us"))))
         return pa.concat_tables(pieces)
 
     return _apply

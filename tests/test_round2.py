@@ -245,3 +245,56 @@ def test_hierarchical_exchange_matches_flat():
             assert hier[b] is None or len(hier[b]) == 0
         else:
             pd.testing.assert_frame_equal(flat[b], hier[b])
+
+
+def test_sliding_null_ts_consistent_with_tumbling():
+    """Null event times: tumbling emits the row with a null window_start;
+    sliding must do the same (once, not replicated) instead of silently
+    dropping it."""
+    from pipeflow_ray.stages.window import assign_sliding
+
+    t = pa.table(
+        {"ts": pa.array([datetime.datetime(2024, 1, 1, 0, 30), None], pa.timestamp("us")),
+         "v": [1, 2]}
+    )
+    out = assign_sliding(7200.0, 3600.0)(t)
+    df = out.to_pandas()
+    assert len(df) == 3  # non-null row in 2 windows + null row once
+    null_rows = df[df.window_start.isna()]
+    assert len(null_rows) == 1 and null_rows.v.iloc[0] == 2
+
+
+def test_checkpoint_finalized_marker_recovers_crash_window(tmp_path):
+    """If the checkpoint says NOT finalized (crash between the last barrier
+    and the final flush), a resume that replays nothing must still run the
+    final flush/commit; once finalized, further re-runs are no-ops."""
+    import json
+    import os
+
+    from pipeflow_ray.fixtures import gen_transcripts
+    import pyarrow.parquet as pq_mod
+    from pipeflow_ray.pipelines.streaming import CheckpointingSessionRunner
+    from pipeflow_ray.state.manifest import completed_partitions, read_committed
+
+    src = str(tmp_path / "in.parquet")
+    pq_mod.write_table(gen_transcripts(1200, seed=9), src)
+    out = str(tmp_path / "out")
+    r = CheckpointingSessionRunner(gap_s=1800.0, lateness_s=3 * 3600.0, num_buckets=2)
+    r.run(src, out, micro_batch_rows=128, checkpoint_every=3)
+    rows = read_committed(out).num_rows
+    n_parts = len(completed_partitions(out))
+
+    ck = os.path.join(out, "_checkpoints", "latest.json")
+    rec = json.load(open(ck))
+    assert rec["finalized"] is True
+    # simulate the crash window: marker cleared, job must re-finalize
+    rec["finalized"] = False
+    json.dump(rec, open(ck, "w"))
+    r2 = CheckpointingSessionRunner(gap_s=1800.0, lateness_s=3 * 3600.0, num_buckets=2)
+    r2.run(src, out, micro_batch_rows=128, checkpoint_every=3)
+    assert json.load(open(ck))["finalized"] is True
+    assert read_committed(out).num_rows == rows  # no duplicates introduced
+    # and a normal re-run after finalization is a pure no-op
+    r3 = CheckpointingSessionRunner(gap_s=1800.0, lateness_s=3 * 3600.0, num_buckets=2)
+    r3.run(src, out, micro_batch_rows=128, checkpoint_every=3)
+    assert read_committed(out).num_rows == rows
