@@ -59,14 +59,19 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 def _char_shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct k-char-shingle hashes of one doc — vectorized rolling
-    polynomial hash over the byte array (no Python loop over shingles)."""
-    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
-    if len(b) < k:
-        b = np.pad(b, (0, k - len(b)), constant_values=32)
+    """Distinct k-CHARACTER-shingle hashes of one doc — vectorized rolling
+    polynomial hash over the CODEPOINT array (utf-32 view). Shingling
+    codepoints, not utf-8 bytes, makes the distinct-shingle set correspond
+    1:1 with SQL ``substr(text, i, k)`` character shingles on ANY text —
+    the same byte-vs-codepoint fix round 2 applied to simhash (ADVICE r2).
+    For pure-ASCII text the hash values are unchanged (byte == codepoint).
+    No Python loop over shingles."""
+    cp = np.frombuffer(text.encode("utf-32-le", "ignore"), dtype=np.uint32).astype(np.uint64)
+    if len(cp) < k:
+        cp = np.pad(cp, (0, k - len(cp)), constant_values=32)  # rpad w/ spaces
     base = np.uint64(1_099_511_628_211)
     powers = base ** np.arange(k, dtype=np.uint64)
-    windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(cp, k)
     return np.unique(windows @ powers)  # wraps mod 2^64
 
 
@@ -479,6 +484,13 @@ def simhash_dup_pairs(
     guarantee needs max_hamming + 1 ≤ 64 bands of ≥ 1 bit."""
     if max_hamming >= 64:
         raise ValueError("max_hamming must be < 64 (64-bit signatures)")
+    if num_bands is not None and not (max_hamming + 1 <= num_bands <= 64):
+        # fewer bands voids the pigeonhole exact-recall guarantee; more than
+        # 64 yields zero-width bands where every doc shares one bucket
+        raise ValueError(
+            f"num_bands must satisfy max_hamming + 1 <= num_bands <= 64 "
+            f"(got num_bands={num_bands}, max_hamming={max_hamming})"
+        )
     bands = num_bands if num_bands is not None else min(max_hamming + 1, 64)
     bounds = np.linspace(0, 64, bands + 1).astype(np.int64)
     sigs = ds.map_batches(

@@ -793,8 +793,11 @@ def minhash_pairs_docs(sf_dir):
     oracle computes ALL-pairs exact 5-char-shingle Jaccard — the banded LSH
     (16 bands × 4 rows) misses a fixture pair (all at j ≥ 0.92, where the
     per-pair miss probability is ~2e-10) essentially never, so the outputs
-    agree exactly. jaccard_micro = floor(j·1e6): both engines divide the same
-    exact integers, so the double (and its floor) is bit-identical."""
+    agree exactly. Engine shingles are CODEPOINT k-grams (dedup.
+    _char_shingle_hashes), exactly DuckDB's substr() character shingles — the
+    parity is unconditional, not ASCII-only (ADVICE r2). jaccard_micro =
+    floor(j·1e6): both engines divide the same exact integers, so the double
+    (and its floor) is bit-identical."""
     from pipeflow_ray.functions.dedup import minhash_dedup_pairs
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

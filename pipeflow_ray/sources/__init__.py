@@ -5,6 +5,7 @@ from pipeflow_ray.sources.optional import MongoQuery
 from pipeflow_ray.sources.sql import (
     SqlQueryBuilder,
     read_scalar,
+    read_single,
     read_sql,
     read_sql_params,
     write_sql,
@@ -20,7 +21,7 @@ from pipeflow_ray.sources.writers import (
 
 __all__ = [
     "read_csv", "read_json", "read_parquet",
-    "read_sql", "read_sql_params", "read_scalar", "write_sql", "SqlQueryBuilder",
+    "read_sql", "read_sql_params", "read_scalar", "read_single", "write_sql", "SqlQueryBuilder",
     "ApiReader", "ApiWriter", "TypedApiReader", "rows_to_table",
     "read_cloud", "write_cloud", "list_objects",
     "MongoQuery",

@@ -212,7 +212,14 @@ class SqlQueryBuilder:
             eff_page = (total + n_pages - 1) // n_pages
             refs = []
             for k in range(n_pages):
-                self._limit = min(eff_page, total - k * eff_page)
+                # clamp: when max_parallel_pages forces eff_page overshoot,
+                # the tail page's remainder can reach 0/negative — a negative
+                # LIMIT is "unbounded" to SQLite and would duplicate rows past
+                # the requested take() (ADVICE r2)
+                remaining = total - k * eff_page
+                if remaining <= 0:
+                    break
+                self._limit = min(eff_page, remaining)
                 self._offset = base_offset + k * eff_page
                 sql, params = self.to_sql()
                 refs.append(_fetch_query_task.remote(connection_factory, sql, params))

@@ -83,6 +83,18 @@ def test_sql_builder_paged_parallel_read(tmp_path):
     assert q.count(factory) == len(expect)
 
 
+def test_sql_builder_paged_read_take_overshoot(tmp_path):
+    """take(n) with a tiny page_size and capped parallel pages: the per-page
+    LIMIT must clamp at the remaining rows — the unclamped form rendered
+    LIMIT -1 (unbounded in SQLite) on tail pages and returned hundreds of
+    extra rows (ADVICE r2)."""
+    path = _db(tmp_path)
+    factory = lambda: sqlite3.connect(path)  # noqa: E731
+    q = SqlQueryBuilder("users").order_by("id").take(65)
+    got = q.read(factory, page_size=1, max_parallel_pages=64).to_pandas()
+    assert sorted(got.id.tolist()) == list(range(65))
+
+
 def test_sql_params_and_scalar(tmp_path):
     path = _db(tmp_path)
     factory = lambda: sqlite3.connect(path)  # noqa: E731

@@ -101,6 +101,33 @@ def test_simhash_vectorized_matches_per_doc_reference():
         assert got[i] == expect, f"doc {i}"
 
 
+def test_simhash_num_bands_validated():
+    import pytest
+
+    ds = ray.data.from_arrow(_corpus())
+    with pytest.raises(ValueError):
+        D.simhash_dup_pairs(ds, max_hamming=3, num_bands=3)  # voids pigeonhole
+    with pytest.raises(ValueError):
+        D.simhash_dup_pairs(ds, max_hamming=3, num_bands=65)  # zero-width bands
+
+
+def test_char_shingles_are_codepoints_not_bytes():
+    """Non-ASCII text: the distinct-shingle count must equal the number of
+    distinct CHARACTER k-grams (what SQL substr computes), not utf-8 byte
+    k-grams — the minhash analog of the simhash codepoint fix (ADVICE r2)."""
+    text = "héllo wörld ünïcode ärger"  # 2-byte utf-8 chars break byte shingles
+    k = 5
+    got = D._char_shingle_hashes(text, k)
+    expect = {text[i : i + k] for i in range(len(text) - k + 1)}
+    assert len(got) == len(expect)
+    # and ASCII hash values are unchanged vs the historical byte shingler
+    ascii_text = "plain ascii text only"
+    b = np.frombuffer(ascii_text.encode(), dtype=np.uint8)
+    w = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    old = np.unique(w @ (np.uint64(1_099_511_628_211) ** np.arange(k, dtype=np.uint64)))
+    assert np.array_equal(D._char_shingle_hashes(ascii_text, k), old)
+
+
 def test_poly_token_hash_truncation_bound():
     long_tok = "x" * 100
     a = D.poly_token_hashes(np.array([long_tok], dtype=object))[0]
