@@ -616,13 +616,15 @@ def transcripts_sessions(sf_dir):
         FROM s GROUP BY conv_id, sid""",
 )
 def streaming_sessions(sf_dir):
-    """Micro-batch streaming runtime (arrival order + watermark + actor state);
-    with lateness covering the fixture's injected 2h disorder the result equals
-    event-time sessionization, which is what the SQL oracle states."""
-    from pipeflow_ray.pipelines.streaming import StreamingSessionRunner
+    """Micro-batch streaming runtime (parallel shard replay + global
+    min-watermark + actor state — every byte decodes in replayer actors, the
+    driver only coordinates epochs); with lateness covering the fixture's
+    injected 2h disorder the result equals event-time sessionization, which
+    is what the SQL oracle states."""
+    from pipeflow_ray.pipelines.streaming import ParallelStreamingRunner
 
-    runner = StreamingSessionRunner(gap_s=1800.0, lateness_s=3 * 3600.0, num_buckets=8)
-    sessions, _late, _metrics = runner.run(_tp(sf_dir))
+    runner = ParallelStreamingRunner(gap_s=1800.0, lateness_s=3 * 3600.0, num_buckets=8)
+    sessions, _metrics = runner.run(_tp(sf_dir))
     out = pd.DataFrame(
         {
             "conv_id": sessions.conv_id,
@@ -1061,13 +1063,14 @@ def asof_join_events(sf_dir):
         WHERE u.role = 'user' AND r.role IN ('assistant', 'tool')""",
 )
 def streaming_join(sf_dir):
-    """Arrival-order incremental turn-response join (actor-held pending-turn
-    state, watermark eviction). With eviction gap ≥ the fixture's 2h
+    """Incremental turn-response join over parallel shard replay (actor-held
+    pending-turn state, global min-watermark eviction, replayer-actor ingest —
+    the driver never decodes a batch). With eviction gap ≥ the fixture's 2h
     disorder, the incremental result equals the batch join — which is what
     the SQL oracle states."""
-    from pipeflow_ray.pipelines.streaming import StreamingJoinRunner
+    from pipeflow_ray.pipelines.streaming import ParallelJoinRunner
 
-    pairs, _metrics = StreamingJoinRunner(lateness_s=3 * 3600.0, num_buckets=8).run(_tp(sf_dir))
+    pairs, _metrics = ParallelJoinRunner(lateness_s=3 * 3600.0, num_buckets=8).run(_tp(sf_dir))
     out = pd.DataFrame(
         {
             "conv_id": pairs.conv_id,
