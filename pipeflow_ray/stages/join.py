@@ -253,3 +253,58 @@ def asof_join(
     import ray.data as _rd
 
     return _rd.from_arrow_refs(refs) if refs else _rd.from_items([])
+
+
+@ray.remote
+def _anti_join_task(n_left: int, left_key: str, right_key: str, *slices):
+    """Per-bucket anti semi-join: keep left rows whose key does NOT appear in
+    the co-partitioned right side. Module-level task (per-call closures
+    collide same-qualname exports in long sessions — see stages/core.py)."""
+    import pyarrow.compute as pc
+
+    l_slices, r_slices = slices[:n_left], slices[n_left:]
+    ls = [t for t in l_slices if t.num_rows]
+    if not ls:
+        return None
+    lt = pa.concat_tables(ls, promote_options="default")
+    rs = [t.select([right_key]) for t in r_slices if t.num_rows]
+    if not rs:
+        return lt
+    ids = pc.unique(
+        pa.concat_tables(rs, promote_options="default")[right_key].combine_chunks()
+    )
+    return lt.filter(pc.invert(pc.is_in(lt[left_key], value_set=ids)))
+
+
+def anti_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed anti semi-join: left rows whose key has NO match in right.
+
+    Both sides are hash-co-partitioned on the key through
+    :func:`~pipeflow_ray.stages.core.hash_exchange`; each bucket drops its
+    matches with one vectorized ``is_in`` against the bucket-local key set.
+    The excluded-key set never materializes on the driver — the scale-safe
+    replacement for the collect-ids-into-a-set pattern (round-2 VERDICT #2):
+    at a 100-TB corpus with a 20-50% dup rate the loser-id set is tens of GB,
+    which only ever exists sharded across bucket tasks here."""
+    from pipeflow_ray.stages.core import default_buckets, hash_exchange
+
+    right_on = right_on or left_on
+    if num_buckets is None:
+        num_buckets = default_buckets()
+    lb = hash_exchange(left, [left_on], num_buckets)
+    rb = hash_exchange(right, [right_on], num_buckets)
+    outs = [
+        _anti_join_task.remote(len(l), left_on, right_on, *l, *r)
+        for l, r in zip(lb, rb)
+    ]
+    counts = ray.get([_nrows_task.remote(o) for o in outs])
+    refs = [o for o, n in zip(outs, counts) if n > 0]
+    import ray.data as _rd
+
+    return _rd.from_arrow_refs(refs) if refs else _rd.from_items([])
