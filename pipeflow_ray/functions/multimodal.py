@@ -42,6 +42,47 @@ def synth_image_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+def ensure_image_golden(n: int, seed: int = 42) -> str:
+    """Golden stats parquet for :func:`synth_image_table`\\(n, seed):
+    (image_id, width, height, mean_milli) computed straight from the
+    generator's rng stream — never through the payload encode → actor-pool
+    decode path, so checking the engine output against this parquet verifies
+    the whole binary round-trip (round-2 VERDICT #5: multimodal gets a
+    rows+schema+hash oracle instead of rows-only). mean_milli =
+    floor(mean·1000) int64 — the cross-engine float discipline.
+
+    Idempotent + atomic; returns the parquet path (DuckDB reads it in the
+    oracle SQL)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    root = "/tmp/pipeflow_fixtures"
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"image_golden_n{n}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(seed)
+    widths = rng.integers(16, 128, n)
+    heights = rng.integers(16, 128, n)
+    means = np.empty(n, np.float64)
+    for i in range(n):  # identical draw order to synth_image_table
+        body = rng.integers(0, 256, int(widths[i]) * int(heights[i]), dtype=np.uint8)
+        means[i] = body.mean()
+    t = pa.table(
+        {
+            "image_id": pa.array(np.arange(n), pa.int64()),
+            "width": pa.array(widths.astype(np.int64), pa.int64()),
+            "height": pa.array(heights.astype(np.int64), pa.int64()),
+            "mean_milli": pa.array(np.floor(means * 1000).astype(np.int64), pa.int64()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def _decode_one(payload: bytes) -> tuple[int, int, float]:
     """Decode kernel. Tries a real image library; falls back to the
     deterministic synthetic-header fake (STUB — replace body when PIL/cv2 are

@@ -972,24 +972,77 @@ def curation_docs(sf_dir):
     return anti_join(kept, losers, "doc_id", num_buckets=32)
 
 
-@q("ivf_topk")
+@q(
+    "ivf_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+           s AS (SELECT q.query_id, e.vec_id,
+                        list_cosine_similarity(q.qe, e.embedding) AS c
+                 FROM q CROSS JOIN embeddings e),
+           r AS (SELECT query_id, vec_id,
+                        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+                 FROM s)
+        SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10""",
+)
 def ivf_topk_query(sf_dir):
+    """IVF gated exactly: with ``nprobe == n_clusters`` every inverted list
+    is probed, so IVF degenerates to exact search and the brute-force SQL
+    oracle applies (round-2 VERDICT #4). The approximate configuration
+    (nprobe < n_clusters) keeps its recall≥bar assertion in
+    tests/test_functions.py::test_ivf_topk_recall."""
     from pipeflow_ray.functions.similarity import ivf_topk
 
     qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
     qdf = qtab[qtab.vec_id < 3].sort_values("vec_id")
     queries = np.stack(qdf.embedding.to_numpy()).astype(np.float64)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, queries, k=10, n_clusters=16, nprobe=4)
+    got = ivf_topk(ds, queries, k=10, n_clusters=16, nprobe=16)
+
+    def _fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "vec_id": t["vec_id"],
+                "rk": t["rank"].cast(pa.int64()),
+            }
+        )
+
+    return got.map_batches(_fmt, batch_format="pyarrow")
 
 
-@q("multimodal_decode")
+@q(
+    "multimodal_decode",
+    """SELECT image_id, width, height, mean_milli
+       FROM read_parquet('/tmp/pipeflow_fixtures/image_golden_n200_s42.parquet')""",
+)
 def multimodal_decode(sf_dir):
+    """Synthetic-image decode through the actor-pool stage, checked against a
+    golden parquet computed straight from the generator's rng stream (never
+    via the payload round-trip) — verifying encode → Ray actor decode →
+    stats end to end. Oracle SQL reads the golden (materialized here AND in
+    __ray_entry__.oracle_sql, whichever side the driver runs first)."""
     from pipeflow_ray.fixtures import sf_of_dir
-    from pipeflow_ray.functions.multimodal import decode_images, synth_image_table
+    from pipeflow_ray.functions.multimodal import (
+        decode_images,
+        ensure_image_golden,
+        synth_image_table,
+    )
 
     n = max(100, int(sf_of_dir(sf_dir) * 20_000))
-    return decode_images(ray.data.from_arrow(synth_image_table(n)), batch_size=64)
+    ensure_image_golden(n)
+    decoded = decode_images(ray.data.from_arrow(synth_image_table(n)), batch_size=64)
+
+    def _fmt(t: pa.Table) -> pa.Table:
+        mean_milli = pc.cast(pc.floor(pc.multiply(t["mean_intensity"], 1000.0)), pa.int64())
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "width": t["width"].cast(pa.int64()),
+                "height": t["height"].cast(pa.int64()),
+                "mean_milli": mean_milli,
+            }
+        )
+
+    return decoded.map_batches(_fmt, batch_format="pyarrow")
 
 
 @q("flagship")
