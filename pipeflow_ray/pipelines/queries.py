@@ -1163,3 +1163,36 @@ def transcripts_sliding(sf_dir):
 
     ds = ds.map_batches(_to_s, batch_format="pyarrow")
     return partial_aggregate(ds, ["conv_id", "window_start_s"], {"n": ("count", None)})
+
+
+@q(
+    "transcripts_hot_window",
+    f"""SELECT conv_id,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) * 3600 AS window_start_s,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS chars
+        FROM read_parquet('{_TP001}')
+        GROUP BY conv_id, window_start_s""",
+)
+def transcripts_hot_window(sf_dir):
+    """Hot-key-SALTED tumbling aggregate (SURVEY §4.2 wired end to end):
+    detect_hot_keys finds the fixture's guaranteed heavy conversation and
+    partial_aggregate salts its partials across reduce buckets; decomposable
+    states make the salted result identical to the plain groupby — which is
+    what the SQL oracle states."""
+    from pipeflow_ray.pipelines.flagship import windowed_char_stats
+
+    agg = windowed_char_stats(_tp(sf_dir), width_s=3600.0, detect_skew=True)
+
+    def _fmt(t: pa.Table) -> pa.Table:
+        ws = pc.divide(t["window_start"].cast(pa.int64()), 1_000_000)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "window_start_s": ws,
+                "n_turns": t["n_turns"].cast(pa.int64()),
+                "chars": t["chars"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_fmt, batch_format="pyarrow")

@@ -135,6 +135,8 @@ def partial_aggregate(
     ds: ray.data.Dataset,
     keys: list[str],
     specs: dict[str, tuple[str, str | None]],
+    hot_keys: "list | None" = None,
+    salt: int = 16,
 ) -> ray.data.Dataset:
     """Grouped aggregation with a per-batch combiner before the shuffle.
 
@@ -142,10 +144,24 @@ def partial_aggregate(
     Each input batch is pre-reduced to ≤ one row per key (pyarrow hash
     aggregation), so the groupby shuffle moves partial states, not rows —
     hot keys cost one partial per batch instead of their full row count.
+
+    *hot_keys* (SURVEY §4.2 salting, fed by
+    :func:`~pipeflow_ray.functions.sketches.detect_hot_keys`): values of
+    ``keys[0]`` whose partials are salted across *salt* sub-groups — each hot
+    key's merge work spreads over *salt* reduce buckets instead of one, then a
+    second (tiny: ≤ salt rows per group) state merge removes the salt. Only
+    decomposable states flow through both merges, so results are identical
+    with or without salting (tested); with ``hot_keys=None`` the plan is
+    byte-identical to the unsalted one.
     """
     for kind, _ in specs.values():
         if kind not in _PARTIAL_KINDS:
             raise ValueError(f"non-decomposable aggregate {kind!r}; use map_groups")
+
+    hot_arr = None
+    if hot_keys:
+        hot_arr = pa.array(list(hot_keys))
+        salt = max(2, int(salt))
 
     # partial state columns needed: sums, counts, mins, maxs
     partial_cols: list[tuple[str, str, str]] = []  # (state_name, src_col, arrow_agg)
@@ -158,16 +174,25 @@ def partial_aggregate(
         else:
             partial_cols.append((f"__{kind}_{out}", col, kind))
 
+    group_keys = keys + ["__salt"] if hot_arr is not None else keys
+
     def _partial(t: pa.Table):
         # generator UDF: empty blocks (e.g. emitted by Ray's built-in hash
         # join) are dropped instead of forwarded — their schema can be
         # unstable and triggers RefBundle schema-mismatch warnings downstream
         if t.num_rows == 0:
             return
+        if hot_arr is not None:
+            # hot rows spread across `salt` sub-groups (batch-local arange —
+            # deterministic, no hash needed); cold rows all take salt 0
+            hot_mask = pc.is_in(t[keys[0]], value_set=hot_arr).to_numpy(
+                zero_copy_only=False)
+            s = np.where(hot_mask, np.arange(t.num_rows, dtype=np.int64) % salt, 0)
+            t = t.append_column("__salt", pa.array(s, pa.int64()))
         # several states may share one (src, agg) — aggregate each pair once
         uniq = list(dict.fromkeys((src, agg) for (_, src, agg) in partial_cols))
-        out_t = t.group_by(keys, use_threads=False).aggregate(uniq)
-        cols = {k: out_t[k] for k in keys}
+        out_t = t.group_by(group_keys, use_threads=False).aggregate(uniq)
+        cols = {k: out_t[k] for k in group_keys}
         for state, src, agg in partial_cols:
             cols[state] = out_t[f"{src}_{agg}"]  # pyarrow's "<col>_<agg>" naming
         yield pa.table(cols)
@@ -186,7 +211,16 @@ def partial_aggregate(
         seen.add(state)
         finals.append((state, "sum" if agg == "count" else agg))
 
+    def _merge_salted(t: pa.Table) -> pa.Table:
+        out_t = t.group_by(group_keys, use_threads=False).aggregate(finals)
+        cols = {k: out_t[k] for k in group_keys}
+        for state, agg in finals:
+            cols[state] = out_t[f"{state}_{agg}"]
+        return pa.table(cols)
+
     def _merge_states(t: pa.Table) -> pa.Table:
+        if "__salt" in t.column_names:
+            t = t.drop_columns(["__salt"])
         out_t = t.group_by(keys, use_threads=False).aggregate(finals)
         cols = {k: out_t[k] for k in keys}
         for state, agg in finals:
@@ -195,7 +229,14 @@ def partial_aggregate(
 
     from pipeflow_ray.stages.core import grouped_by_bucket
 
-    merged = grouped_by_bucket(partial, keys, _merge_states, batch_format="pyarrow")
+    if hot_arr is not None:
+        # stage 1: merge per (key, salt) — a hot key's work spans `salt`
+        # buckets; stage 2: tiny de-salt merge (≤ salt rows per group)
+        salted = grouped_by_bucket(partial, group_keys, _merge_salted,
+                                   batch_format="pyarrow")
+        merged = grouped_by_bucket(salted, keys, _merge_states, batch_format="pyarrow")
+    else:
+        merged = grouped_by_bucket(partial, keys, _merge_states, batch_format="pyarrow")
 
     def _finalize(t: pa.Table) -> pa.Table:
         cols = {k: t[k] for k in keys}
@@ -220,10 +261,14 @@ def tumbling_aggregate(
     width_s: float,
     specs: dict[str, tuple[str, str | None]],
     ts_col: str = "ts",
+    hot_keys: "list | None" = None,
+    salt: int = 16,
 ) -> ray.data.Dataset:
-    """Tumbling-windowed aggregate: window column + partial-aggregate shuffle."""
+    """Tumbling-windowed aggregate: window column + partial-aggregate shuffle.
+    *hot_keys* salts detected heavy hitters (see :func:`partial_aggregate`)."""
     ds = ds.map_batches(assign_tumbling(width_s, ts_col), batch_format="pyarrow")
-    return partial_aggregate(ds, keys + ["window_start"], specs)
+    return partial_aggregate(ds, keys + ["window_start"], specs,
+                             hot_keys=hot_keys, salt=salt)
 
 
 def sliding_aggregate(

@@ -2,12 +2,13 @@
 flood the shuffle.
 
 The engine's skew strategy for decomposable aggregates is the per-batch
-combiner in ``partial_aggregate``: a hot key contributes at most one partial
-row per (batch, key, window) to the all-to-all exchange — the effect explicit
-salting would give, without a detection pass. Non-decomposable keyed scans
-(join pairing, session scan) are bucket-vectorized, so a hot conversation
-costs linear vectorized work inside one bucket; the documented partitioning
-assumption is that a single conversation fits one worker.
+combiner in ``partial_aggregate`` (a hot key contributes at most one partial
+row per (batch, key, window) to the all-to-all exchange) plus OPTIONAL
+detected-hot-key salting (``hot_keys=detect_hot_keys(...)``) that spreads a
+heavy key's merge work across reduce buckets. Non-decomposable keyed scans
+(join pairing, session scan) are bucket-vectorized with a chunked merge
+(``hash_join(chunk_rows=...)``) bounding per-task memory; the documented
+partitioning assumption is that a single conversation fits one worker.
 """
 
 from __future__ import annotations
@@ -82,3 +83,60 @@ def test_join_complete_on_hot_conversation():
     assert len(got) == expected
     hot = counts.index[0]
     assert (got.conv_id == hot).sum() > 500
+
+
+def test_hash_join_hot_key_chunked_merge_equals_pandas():
+    """One key holding 50% of the left rows lands its whole bucket in one
+    merge task; a tiny chunk_rows forces the bounded-memory chunked path,
+    which must equal the single-pass pandas merge (round-2 VERDICT #6)."""
+    from pipeflow_ray.stages.join import hash_join
+
+    n = 20_000
+    k = np.where(np.arange(n) % 2 == 0, 7, np.arange(n) % 997).astype(np.int64)
+    left = pa.table({"k": k, "lv": np.arange(n, dtype=np.int64)})
+    rk = np.concatenate([np.arange(997), [7, 7]]).astype(np.int64)  # hot key fans out ×3
+    right = pa.table({"k": rk, "rv": np.arange(len(rk), dtype=np.int64)})
+
+    out = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), on="k",
+        num_partitions=8, chunk_rows=512,
+    ).to_pandas()
+    ref = left.to_pandas().merge(right.to_pandas(), on="k", how="inner")
+    key_cols = ["k", "lv", "rv"]
+    got = out[key_cols].astype("int64").sort_values(key_cols).reset_index(drop=True)
+    exp = ref[key_cols].sort_values(key_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # the hot key really is ≥half the input and fanned out ×3
+    n_hot_left = int((k == 7).sum())
+    assert n_hot_left >= n // 2
+    assert (got.k == 7).sum() == n_hot_left * 3
+
+
+def test_hot_key_salted_aggregate_equals_unsalted():
+    """Salting detected hot keys across reduce buckets must not change any
+    aggregate (decomposable states; round-2 VERDICT #7)."""
+    from pipeflow_ray.functions.sketches import detect_hot_keys
+
+    n = 30_000
+    rng = np.random.default_rng(7)
+    key = np.where(rng.random(n) < 0.5, "hot", rng.integers(0, 500, n).astype("U8"))
+    df = pa.table({
+        "k": pa.array(key),
+        "w": pa.array((rng.integers(0, 5, n) * 100).astype(np.int64)),
+        "v": pa.array(rng.integers(0, 1000, n).astype(np.int64)),
+    })
+    ds = ray.data.from_arrow(df).repartition(8)
+    hot = detect_hot_keys(ds, "k", top_k=3)
+    assert "hot" in set(hot.key)
+
+    specs = {"n": ("count", None), "s": ("sum", "v"), "m": ("mean", "v"),
+             "mx": ("max", "v"), "mn": ("min", "v")}
+    plain = partial_aggregate(ds, ["k", "w"], specs).to_pandas()
+    salted = partial_aggregate(ds, ["k", "w"], specs,
+                               hot_keys=hot.key.tolist(), salt=8).to_pandas()
+    cols = ["k", "w"]
+    a = plain.sort_values(cols).reset_index(drop=True)
+    b = salted.sort_values(cols).reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # the salted result must NOT carry the salt column
+    assert "__salt" not in b.columns
