@@ -317,3 +317,92 @@ def test_hash_exchange_partition_property():
         got = pa.concat_tables(tables).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
         exp = t.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp)
+
+
+# ---------------------------------------------------------------------------
+# Excel / Mongo execution with injected fakes (round-2 VERDICT #8): the client
+# libraries are absent in this runtime, so inject stub modules through the
+# import gate and fake the library boundary — everything the connector itself
+# owns (gating, argument plumbing, Dataset conversion) executes for real.
+# ---------------------------------------------------------------------------
+
+
+def test_excel_roundtrip_with_injected_engine(monkeypatch):
+    import sys
+    import types
+
+    import pandas as pd
+
+    from pipeflow_ray.sources.optional import read_excel, write_excel
+
+    monkeypatch.setitem(sys.modules, "openpyxl", types.ModuleType("openpyxl"))
+    store = {}
+
+    def fake_read_excel(path, sheet_name=0, **kw):
+        assert path == "/tmp/book.xlsx" and sheet_name == "Data"
+        return pd.DataFrame({"Name": ["Ann", "Bo", "Cy"], "Age": [34, 28, 41]})
+
+    def fake_to_excel(self, path, sheet_name="Sheet1", index=True):
+        store["written"] = (path, sheet_name, index, self.copy())
+
+    monkeypatch.setattr(pd, "read_excel", fake_read_excel)
+    monkeypatch.setattr(pd.DataFrame, "to_excel", fake_to_excel)
+
+    ds = read_excel("/tmp/book.xlsx", sheet="Data")
+    assert sorted(ds.to_pandas().Name) == ["Ann", "Bo", "Cy"]
+
+    filtered = ds.filter(expr="Age > 30")
+    write_excel(filtered, "/tmp/out.xlsx", sheet="Grown")
+    path, sheet, index, df = store["written"]
+    assert path == "/tmp/out.xlsx" and sheet == "Grown" and index is False
+    assert sorted(df.Name) == ["Ann", "Cy"]
+
+
+def test_excel_import_gate_raises_without_lib():
+    import importlib.util
+
+    import pytest as _pytest
+
+    from pipeflow_ray.sources.optional import read_excel
+
+    if importlib.util.find_spec("openpyxl") is not None:  # pragma: no cover
+        _pytest.skip("openpyxl present in this runtime")
+    with _pytest.raises(ImportError, match="openpyxl"):
+        read_excel("/tmp/book.xlsx")
+
+
+def test_mongo_execution_with_injected_client(monkeypatch):
+    import sys
+    import types
+
+    import ray.data as rd
+
+    from pipeflow_ray.sources.optional import MongoQuery, write_mongo
+
+    monkeypatch.setitem(sys.modules, "pymongo", types.ModuleType("pymongo"))
+    captured = {}
+
+    def fake_read_mongo(uri, database, collection, pipeline=None, **kw):
+        captured["read"] = (uri, database, collection, pipeline)
+        return rd.from_items([{"name": "a", "age": 30}, {"name": "b", "age": 30}])
+
+    monkeypatch.setattr(rd, "read_mongo", fake_read_mongo)
+
+    q = (MongoQuery("mongodb://h:27017", "db", "users")
+         .where("age", 30).sort("name").limit(5).project("name", "age"))
+    ds = q.read()
+    assert captured["read"][:3] == ("mongodb://h:27017", "db", "users")
+    assert captured["read"][3] == [
+        {"$match": {"age": 30}},
+        {"$sort": {"name": 1}},
+        {"$limit": 5},
+        {"$project": {"name": 1, "age": 1, "_id": 0}},
+    ]
+    assert ds.count() == 2
+
+    def fake_write_mongo(self, uri, database, collection):
+        captured["write"] = (uri, database, collection, self.count())
+
+    monkeypatch.setattr(rd.Dataset, "write_mongo", fake_write_mongo)
+    write_mongo(ds, "mongodb://h:27017", "db", "out")
+    assert captured["write"] == ("mongodb://h:27017", "db", "out", 2)
