@@ -347,6 +347,11 @@ class StreamingTumblingRunner:
     watermark has passed are emitted immediately (bounded state), late rows go
     to the side output. With lateness ≥ disorder, results equal the batch
     tumbling aggregate (tested).
+
+    Null event times: event-time streaming needs an event time, so null-ts
+    rows are counted (``metrics["null_ts_rows"]``) and dropped — the BATCH
+    window path emits them under a null window_start instead (documented
+    divergence; same policy as the parallel replayers).
     """
 
     def __init__(self, width_s: float = 3600.0, lateness_s: float = 3600.0,
@@ -376,6 +381,7 @@ class StreamingTumblingRunner:
         else:
             files = [parquet_path]
 
+        null_ts_rows = 0
         cols = [self.key_col, "text", "ts"]
         for fp in files:
             for rb in pq.ParquetFile(fp).iter_batches(batch_size=micro_batch_rows, columns=cols):
@@ -387,6 +393,10 @@ class StreamingTumblingRunner:
                         "v": _n_chars(rb.column("text")),
                     }
                 )
+                nulls = df.ts_us.isna()
+                if nulls.any():  # see class docstring: null-ts rows counted, dropped
+                    null_ts_rows += int(nulls.sum())
+                    df = df[~nulls]
                 late = df.ts_us < watermark_us
                 late_rows += int(late.sum())
                 df = df[~late]
@@ -417,7 +427,8 @@ class StreamingTumblingRunner:
             if out_parts
             else pd.DataFrame(columns=["key", "window_start_us", "n", "value_sum"])
         )
-        metrics = {"rows": n_rows, "late_rows": late_rows, "windows": int(len(windows)),
+        metrics = {"rows": n_rows, "late_rows": late_rows,
+                   "null_ts_rows": null_ts_rows, "windows": int(len(windows)),
                    "final_watermark_us": int(watermark_us)}
         return windows, metrics
 
@@ -430,7 +441,10 @@ class StreamingSlidingRunner(StreamingTumblingRunner):
     passes ``window_start + width`` — applies unchanged.
 
     With lateness ≥ disorder the finalized windows equal the batch
-    :func:`~pipeflow_ray.stages.window.sliding_aggregate` (tested)."""
+    :func:`~pipeflow_ray.stages.window.sliding_aggregate` (tested) — EXCEPT
+    on null event times, which are counted (``metrics["null_ts_rows"]``) and
+    dropped here while the batch path emits them once under a null
+    window_start (ADVICE r2; same policy as the parallel replayers)."""
 
     def __init__(self, width_s: float = 7200.0, slide_s: float = 3600.0,
                  lateness_s: float = 3600.0, num_buckets: int = 8,
@@ -456,6 +470,7 @@ class StreamingSlidingRunner(StreamingTumblingRunner):
             for f in os.listdir(parquet_path) if f.endswith(".parquet")
         ) if os.path.isdir(parquet_path) else [parquet_path]
 
+        null_ts_rows = 0
         cols = [self.key_col, "text", "ts"]
         for fp in files:
             for rb in pq.ParquetFile(fp).iter_batches(batch_size=micro_batch_rows, columns=cols):
@@ -467,6 +482,10 @@ class StreamingSlidingRunner(StreamingTumblingRunner):
                         "v": _n_chars(rb.column("text")),
                     }
                 )
+                nulls = df.ts_us.isna()
+                if nulls.any():  # see class docstring: null-ts rows counted, dropped
+                    null_ts_rows += int(nulls.sum())
+                    df = df[~nulls]
                 late = df.ts_us < watermark_us
                 late_rows += int(late.sum())
                 df = df[~late]
@@ -508,7 +527,8 @@ class StreamingSlidingRunner(StreamingTumblingRunner):
             if out_parts
             else pd.DataFrame(columns=["key", "window_start_us", "n", "value_sum"])
         )
-        metrics = {"rows": n_rows, "late_rows": late_rows, "windows": int(len(windows)),
+        metrics = {"rows": n_rows, "late_rows": late_rows,
+                   "null_ts_rows": null_ts_rows, "windows": int(len(windows)),
                    "final_watermark_us": int(watermark_us)}
         return windows, metrics
 

@@ -247,3 +247,30 @@ def test_curation_never_materializes_ids_on_driver(monkeypatch):
     monkeypatch.undo()
     out = ds.to_pandas()
     assert len(out) > 0 and "doc_id" in out.columns
+
+
+def test_streaming_window_runners_count_null_ts(tmp_path):
+    """Null event times are counted and dropped by the streaming window
+    runners (the batch path emits them under a null window instead —
+    documented divergence, ADVICE r2)."""
+    import pyarrow as pa
+
+    from pipeflow_ray.pipelines.streaming import (
+        StreamingSlidingRunner,
+        StreamingTumblingRunner,
+    )
+
+    t = pa.table({
+        "conv_id": pa.array(["a", "a", "b", "b"]),
+        "text": pa.array(["xx", "yyy", "z", "qq"]),
+        "ts": pa.array([1_000_000, None, 2_000_000, None], pa.timestamp("us")),
+    })
+    p = str(tmp_path / "null_ts.parquet")
+    pq.write_table(t, p)
+
+    w, m = StreamingTumblingRunner(width_s=1.0, lateness_s=10.0, num_buckets=2).run(p)
+    assert m["null_ts_rows"] == 2 and m["rows"] == 4 and len(w) == 2
+
+    w2, m2 = StreamingSlidingRunner(width_s=2.0, slide_s=1.0, lateness_s=10.0,
+                                    num_buckets=2).run(p)
+    assert m2["null_ts_rows"] == 2 and len(w2) == 4  # 2 rows × 2 windows
