@@ -673,6 +673,7 @@ class ShardReplayer:
         self.null_ts_rows = 0
         self.eof = False
         self._iter = None
+        self._pending: list = []  # in-flight bucket process() futures
 
     def _batches(self):
         cols = _MODE_COLUMNS[self.mode] or [self.params["key_col"], "text", "ts"]
@@ -703,6 +704,12 @@ class ShardReplayer:
             self._process(rb)
             self.offset += 1
             n += 1
+        # drain in-flight routes BEFORE returning: the caller's ray.get on
+        # replay() is the epoch barrier — eviction/checkpoint may only run
+        # once every routed batch has been applied to the bucket actors
+        if self._pending:
+            ray.get(self._pending)
+            self._pending = []
         return self.rows, self.late_rows, self.null_ts_rows, self.offset, self.eof
 
     def _route(self, frame: pd.DataFrame, key_col: str) -> None:
@@ -712,12 +719,19 @@ class ShardReplayer:
         # (see SessionBucketActor.evict)
         nb = len(self.buckets)
         bucket = pd.util.hash_array(frame[key_col].to_numpy(dtype=object)) % nb
-        futs = [
+        # PIPELINED routing: no per-batch ray.get — Ray executes calls from
+        # the same caller on the same actor in submission order, which is all
+        # shard-arrival order needs (cross-replayer interleaving is already
+        # handled by commutative state + barrier eviction). Futures drain at
+        # replay() return (the epoch barrier) and at the backpressure cap.
+        self._pending.extend(
             self.buckets[b].process.remote(frame[bucket == b], -(1 << 62))
             for b in range(nb)
             if (bucket == b).any()
-        ]
-        ray.get(futs)  # apply in shard-arrival order
+        )
+        if len(self._pending) > 256:
+            ray.get(self._pending)
+            self._pending = []
 
     def _process(self, rb: pa.RecordBatch) -> None:
         if self.mode == "join":
