@@ -766,16 +766,21 @@ def quality_docs(sf_dir):
 
 # --- near-dup family: exact DuckDB oracles (round-1 VERDICT #3) -------------
 
-_MINHASH_ORACLE = """
+
+def _jaccard_oracle(k: int, thr: float) -> str:
+    """ALL-pairs exact k-char-shingle Jaccard in SQL (the near-dup ground
+    truth): substr() character shingles ≡ the engine's codepoint k-grams;
+    texts shorter than k are space-padded on both sides identically."""
+    return f"""
 WITH base AS (
   SELECT doc_id,
-         CASE WHEN length(coalesce(text, '')) < 5
-              THEN rpad(coalesce(text, ''), 5, ' ')
+         CASE WHEN length(coalesce(text, '')) < {k}
+              THEN rpad(coalesce(text, ''), {k}, ' ')
               ELSE coalesce(text, '') END AS tx
   FROM documents),
 sh AS (
-  SELECT DISTINCT doc_id, substr(tx, CAST(g AS INT), 5) AS s
-  FROM (SELECT doc_id, tx, unnest(range(1, length(tx) - 3)) AS g FROM base)),
+  SELECT DISTINCT doc_id, substr(tx, CAST(g AS INT), {k}) AS s
+  FROM (SELECT doc_id, tx, unnest(range(1, length(tx) - {k - 2})) AS g FROM base)),
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
@@ -786,7 +791,10 @@ SELECT id_a, id_b,
 FROM inter
 JOIN cnt ca ON ca.doc_id = id_a
 JOIN cnt cb ON cb.doc_id = id_b
-WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.7"""
+WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {thr}"""
+
+
+_MINHASH_ORACLE = _jaccard_oracle(5, 0.7)
 
 
 @q("minhash_pairs_docs", _MINHASH_ORACLE)
@@ -804,6 +812,32 @@ def minhash_pairs_docs(sf_dir):
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pairs = minhash_dedup_pairs(docs, threshold=0.7)
+
+    def _fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": t["id_a"].cast(pa.int64()),
+                "id_b": t["id_b"].cast(pa.int64()),
+                "jaccard_micro": _floor_cents(t["jaccard"], 1_000_000),
+            }
+        )
+
+    return pairs.map_batches(_fmt, batch_format="pyarrow")
+
+
+@q("ngram_jaccard_docs", _jaccard_oracle(4, 0.8))
+def ngram_jaccard_docs(sf_dir):
+    """Standalone n-gram Jaccard near-dup (the dedup family's exact-kernel
+    member as its own pipeline, distinct shingle width k=4 and threshold
+    0.8): LSH candidate generation at k=4, signature-estimate pre-filter,
+    exact codepoint-shingle Jaccard verify. The oracle recomputes ALL-pairs
+    exact 4-gram Jaccard — a true pair at j ≥ 0.9 is missed by the 16×4
+    banding with p ≈ 4e-8, so the outputs agree exactly; jaccard_micro floors
+    are bit-identical (same integer division on both sides)."""
+    from pipeflow_ray.functions.dedup import minhash_dedup_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(docs, threshold=0.8, k=4)
 
     def _fmt(t: pa.Table) -> pa.Table:
         return pa.table(
