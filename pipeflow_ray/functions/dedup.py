@@ -17,6 +17,8 @@ across bands.
 
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -116,6 +118,45 @@ class MinHasher:
         )
 
 
+class MinHashWithText(MinHasher):
+    """Signature AND text per row — used on the (tiny) candidate-doc subset
+    by the fused verify so the side table carries both without a sig⋈doc
+    join: recomputing a few hundred signatures is far cheaper than an extra
+    co-partitioned exchange (deterministic coefficients ⇒ identical values)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:  # type: ignore[override]
+        texts = t[self.text_col].to_pylist()
+        sigs = self.signatures(texts)
+        return pa.table(
+            {
+                self.id_col: t[self.id_col],
+                self.text_col: t[self.text_col],
+                "sig": pa.array(list(sigs.astype(np.uint64))),
+            }
+        )
+
+
+@_functools.lru_cache(maxsize=8)
+def _cached_hasher(cls_name: str, text_col: str, id_col: str, num_perm: int,
+                   k: int, seed: int):
+    cls = MinHashWithText if cls_name == "with_text" else MinHasher
+    return cls(text_col, id_col, num_perm, k, seed)
+
+
+def _sig_batch(t: pa.Table, *, text_col: str, id_col: str,
+               num_perm: int, k: int, seed: int) -> pa.Table:
+    """Stateless map_batches wrapper over a per-process cached hasher —
+    avoids spinning an actor pool per query (seconds of spawn) while still
+    building coefficients once per worker process."""
+    return _cached_hasher("sig", text_col, id_col, num_perm, k, seed)(t)
+
+
+def _sig_with_text_batch(t: pa.Table, *, text_col: str, id_col: str,
+                         num_perm: int, k: int, seed: int) -> pa.Table:
+    """As :func:`_sig_batch` but emitting text alongside the signature."""
+    return _cached_hasher("with_text", text_col, id_col, num_perm, k, seed)(t)
+
+
 def minhash_lsh_candidates(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -140,6 +181,20 @@ def minhash_lsh_candidates(
 
 
 def _candidates_from_sigs(
+    sigs: ray.data.Dataset, id_col: str, num_perm: int, bands: int
+) -> ray.data.Dataset:
+    """Banded candidates, distinct across bands (one extra tiny-row exchange;
+    the fused pipeline uses :func:`_raw_candidates_from_sigs` and dedupes
+    inside the verify join instead)."""
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    pairs = _raw_candidates_from_sigs(sigs, id_col, num_perm, bands)
+    return grouped_by_bucket(
+        pairs, ["id_a", "id_b"], lambda df: df.drop_duplicates(), batch_format="pandas"
+    )
+
+
+def _raw_candidates_from_sigs(
     sigs: ray.data.Dataset, id_col: str, num_perm: int, bands: int
 ) -> ray.data.Dataset:
     rows_per_band = num_perm // bands
@@ -182,11 +237,8 @@ def _candidates_from_sigs(
 
     from pipeflow_ray.stages.core import grouped_by_bucket
 
-    pairs = grouped_by_bucket(banded, ["band", "band_hash"], _bucket_pairs, batch_format="pandas")
-    # distinct across bands
-    return grouped_by_bucket(
-        pairs, ["id_a", "id_b"], lambda df: df.drop_duplicates(), batch_format="pandas"
-    )
+    # NOT distinct across bands — a pair colliding in b bands appears b times
+    return grouped_by_bucket(banded, ["band", "band_hash"], _bucket_pairs, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -207,16 +259,22 @@ def _candidates_from_sigs(
 
 @ray.remote
 def _attach_merge_task(n_pair_slices: int, pair_key: str, side_key: str,
-                       attach_cols: list[str], suffix: str, *slices):
+                       attach_cols: list[str], suffix: str, dedup_on, *slices):
     """Per-bucket merge attaching ``attach_cols`` (renamed ``<col><suffix>``)
     of the side table to the pairs on ``pair_key == side_key``. Module-level
-    remote task (see stages/core.py on closure re-export hazards)."""
+    remote task (see stages/core.py on closure re-export hazards).
+    *dedup_on*: optional column list — drop duplicate pair rows per bucket
+    BEFORE the merge (complete when the bucket key is one of the columns:
+    all copies of a pair share its bucket), so banding duplicates never get
+    payload columns attached."""
     p_slices, s_slices = slices[:n_pair_slices], slices[n_pair_slices:]
     ps = [t for t in p_slices if t.num_rows]
     if not ps or not s_slices:  # inner join: nothing to attach from an
         return None             # empty (zero-block) side
     ss = [t for t in s_slices if t.num_rows]
     pdf = pa.concat_tables(ps, promote_options="default").to_pandas()
+    if dedup_on is not None:
+        pdf = pdf.drop_duplicates(dedup_on)
     if ss:
         sdf = pa.concat_tables(ss, promote_options="default").to_pandas()
     else:
@@ -236,15 +294,19 @@ def attach_by_id(
     attach_cols: list[str],
     suffix: str,
     num_buckets: int = 32,
+    dedup_on: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Co-partitioned hash join attaching side columns to pair rows on an id —
-    the distributed replacement for a driver-side lookup dict."""
+    the distributed replacement for a driver-side lookup dict. *dedup_on*
+    drops duplicate pair rows per bucket before payload attaches (exhaustive
+    when *pair_key* ∈ *dedup_on*)."""
     from pipeflow_ray.stages.core import _nrows_task, hash_exchange
 
     pb = hash_exchange(pairs, [pair_key], num_buckets)
     sb = hash_exchange(side, [side_key], num_buckets)
     outs = [
-        _attach_merge_task.remote(len(p), pair_key, side_key, attach_cols, suffix, *p, *s)
+        _attach_merge_task.remote(
+            len(p), pair_key, side_key, attach_cols, suffix, dedup_on, *p, *s)
         for p, s in zip(pb, sb)
     ]
     counts = ray.get([_nrows_task.remote(o) for o in outs])
@@ -335,38 +397,89 @@ def verify_jaccard(
     return _stable_empty(with_b.map_batches(_score, batch_format="pyarrow"), _EMPTY_JACCARD)
 
 
-def estimate_filter_pairs(
+def _estimate_verify_batch(t: pa.Table, *, threshold: float, text_col: str,
+                           k: int, margin: float) -> pa.Table:
+    """One bucket batch = banding-dup dedupe → signature-agreement estimate
+    (cheap kill ≥ 4σ below threshold: margin ≈ 4σ of the 64-perm estimator,
+    so a true pair AT the threshold is essentially never dropped) → exact
+    shingle-Jaccard on survivors. Fusing the two filters into the stage that
+    already holds sig+text removes two full exchange rounds vs the round-2
+    est→verify chain. Stateless fn, NOT an actor pool: per-query pool spawn
+    costs seconds and the stage holds no state worth caching."""
+    if t.num_rows == 0:
+        return _EMPTY_JACCARD.empty_table()
+    # banding duplicates: every copy of a pair shares the id_b bucket of
+    # this (block-sized) batch, so a per-batch dedupe is exhaustive
+    df = pd.DataFrame({"id_a": t["id_a"].to_numpy(zero_copy_only=False),
+                       "id_b": t["id_b"].to_numpy(zero_copy_only=False)})
+    first = ~df.duplicated(["id_a", "id_b"]).to_numpy()
+    t = t.filter(pa.array(first))
+    sa = np.stack([np.asarray(s, np.uint64) for s in t["sig_a"].to_pylist()])
+    sb = np.stack([np.asarray(s, np.uint64) for s in t["sig_b"].to_pylist()])
+    t = t.filter(pa.array((sa == sb).mean(axis=1) >= threshold - margin))
+    if t.num_rows == 0:
+        return _EMPTY_JACCARD.empty_table()
+    ja = np.empty(t.num_rows, np.float64)
+    cache: dict[int, np.ndarray] = {}
+    ids_a = t["id_a"].to_pylist()
+    ids_b = t["id_b"].to_pylist()
+    ta = t[f"{text_col}_a"].to_pylist()
+    tb = t[f"{text_col}_b"].to_pylist()
+    for i in range(t.num_rows):
+        s1 = cache.get(ids_a[i])
+        if s1 is None:
+            s1 = cache[ids_a[i]] = _char_shingle_hashes(ta[i] or "", k)
+        s2 = cache.get(ids_b[i])
+        if s2 is None:
+            s2 = cache[ids_b[i]] = _char_shingle_hashes(tb[i] or "", k)
+        inter = len(np.intersect1d(s1, s2, assume_unique=True))
+        ja[i] = inter / max(1, len(s1) + len(s2) - inter)
+    out = pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "jaccard": pa.array(ja)})
+    return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+
+def estimate_and_verify(
     pairs: ray.data.Dataset,
-    sigs: ray.data.Dataset,
+    docs: ray.data.Dataset,
     threshold: float,
+    text_col: str = "text",
     id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 64,
     margin: float = 0.25,
+    seed: int = 42,
 ) -> ray.data.Dataset:
-    """Cheap signature-agreement Jaccard estimate per candidate pair; keeps
-    pairs with est ≥ threshold − margin (margin ≈ 4σ of the 64-perm
-    estimator, so a true pair at the threshold is essentially never dropped)
-    before the expensive exact verification. Signatures are attached by two
-    co-partitioned id joins — no driver-side signature dict at any corpus
-    size (round-1 VERDICT fix)."""
-    pairs = pairs.materialize()
+    """Fused candidate scoring: raw (band-duplicated) pairs → candidate-id
+    semi-join filter → per-candidate sig+text side (signatures RECOMPUTED on
+    the tiny candidate subset, no sig⋈doc join) → two co-partitioned attaches
+    (deduping band copies before any payload attaches) → one bucket task
+    doing estimate-filter + exact-Jaccard verify. Three exchange rounds
+    total after banding, vs six in the unfused est→verify chain."""
+    pairs = pairs.materialize()  # consumed twice (id collection + join)
     if pairs.count() == 0:
-        return pairs
+        return ray.data.from_arrow(_EMPTY_JACCARD.empty_table())
     flt, _n = _candidate_id_filter(pairs, id_col)
-    cand_sigs = sigs.map_batches(flt, batch_format="pyarrow")
-    with_a = attach_by_id(pairs, cand_sigs, "id_a", id_col, ["sig"], "_a")
-    with_b = attach_by_id(with_a, cand_sigs, "id_b", id_col, ["sig"], "_b")
-    cutoff = threshold - margin
-
-    def _est(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"id_a": t["id_a"], "id_b": t["id_b"]})
-        sa = np.stack([np.asarray(s, np.uint64) for s in t["sig_a"].to_pylist()])
-        sb = np.stack([np.asarray(s, np.uint64) for s in t["sig_b"].to_pylist()])
-        est = (sa == sb).mean(axis=1)
-        out = pa.table({"id_a": t["id_a"], "id_b": t["id_b"]})
-        return out.filter(pa.array(est >= cutoff))
-
-    return with_b.map_batches(_est, batch_format="pyarrow")
+    side = (
+        docs.map_batches(flt, batch_format="pyarrow")
+        .select_columns([id_col, text_col])
+        .map_batches(
+            _sig_with_text_batch,
+            fn_kwargs=dict(text_col=text_col, id_col=id_col,
+                           num_perm=num_perm, k=k, seed=seed),
+            batch_format="pyarrow",
+        )
+        .materialize()  # attached twice (id_a, id_b) — never re-read docs
+    )
+    with_a = attach_by_id(pairs, side, "id_a", id_col, ["sig", text_col], "_a",
+                          dedup_on=["id_a", "id_b"])
+    with_b = attach_by_id(with_a, side, "id_b", id_col, ["sig", text_col], "_b")
+    scored = with_b.map_batches(
+        _estimate_verify_batch,
+        fn_kwargs=dict(threshold=threshold, text_col=text_col, k=k, margin=margin),
+        batch_format="pyarrow",
+        batch_size=None,  # whole blocks: block = id_b bucket ⇒ dedupe is exhaustive
+    )
+    return _stable_empty(scored, _EMPTY_JACCARD)
 
 
 def minhash_dedup_pairs(
@@ -389,15 +502,18 @@ def minhash_dedup_pairs(
     passes the exact-Jaccard verify)."""
     num_perm = kw.get("num_perm", 64)
     k = kw.get("k", 5)
+    # corpus signatures stream straight into banding (consumed once; the
+    # fused verify recomputes signatures for the tiny candidate subset
+    # instead of joining back to this dataset)
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_args=(text_col, id_col, num_perm, k),
+        _sig_batch,
+        fn_kwargs=dict(text_col=text_col, id_col=id_col, num_perm=num_perm,
+                       k=k, seed=42),
         batch_format="pyarrow",
-        concurrency=(1, 8),
-    ).materialize()
-    cands = _candidates_from_sigs(sigs, id_col, num_perm, kw.get("bands", 16))
-    plausible = estimate_filter_pairs(cands, sigs, threshold, id_col)
-    return verify_jaccard(plausible, ds, threshold, text_col, id_col, k=k)
+    )
+    cands = _raw_candidates_from_sigs(sigs, id_col, num_perm, kw.get("bands", 16))
+    return estimate_and_verify(
+        cands, ds, threshold, text_col, id_col, k=k, num_perm=num_perm)
 
 
 # ---------------------------------------------------------------------------
