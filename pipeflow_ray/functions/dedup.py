@@ -334,9 +334,13 @@ def _candidate_id_filter(pairs: ray.data.Dataset, id_col: str):
         b = t["id_b"].to_numpy(zero_copy_only=False)
         return pa.table({"i": pa.array(np.unique(np.concatenate([a, b])), pa.int64())})
 
-    ids = pairs.map_batches(_ids_batch, batch_format="pyarrow")
-    uniq = ids.unique("i")  # small distributed distinct; driver gets ints only
-    id_arr = pa.array(sorted(uniq), pa.int64())
+    ids = pairs.map_batches(_ids_batch, batch_format="pyarrow").materialize()
+    # per-block distinct above, final distinct on the driver: the id table is
+    # already O(candidates) ints, so np.unique here is cheaper than the
+    # groupby shuffle a distributed ``unique()`` schedules — ints only, never
+    # text/signatures
+    tbl = pa.concat_tables(ray.get(ids.to_arrow_refs()), promote_options="default")
+    id_arr = pa.array(np.unique(tbl["i"].to_numpy(zero_copy_only=False)), pa.int64())
 
     def _filter(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t[id_col], value_set=id_arr))
