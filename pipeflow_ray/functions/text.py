@@ -104,6 +104,58 @@ class LangId:
         return t.append_column(self.out, pa.array(best, pa.string()))
 
 
+WINNOW_P = np.uint64(1_099_511_628_211)  # FNV prime; k-gram rolling-hash base
+
+
+def _kgram_hashes(text: str, k: int) -> np.ndarray:
+    """POSITIONAL k-gram rolling polynomial hashes over the codepoint array
+    (one hash per window position, duplicates kept — the winnowing input;
+    ``dedup._char_shingle_hashes`` is the distinct-set variant). Texts
+    shorter than k are right-padded with spaces to one k-gram."""
+    cp = np.frombuffer(text.encode("utf-32-le", "ignore"), dtype=np.uint32).astype(np.uint64)
+    if len(cp) < k:
+        cp = np.pad(cp, (0, k - len(cp)), constant_values=32)
+    powers = WINNOW_P ** np.arange(k, dtype=np.uint64)
+    return np.lib.stride_tricks.sliding_window_view(cp, k) @ powers  # wraps mod 2^64
+
+
+class WinnowFingerprint:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003):
+    k-gram rolling hash at every position, then the minimum hash of each
+    window of *w* consecutive k-grams is selected; the distinct selected
+    hashes are the doc's fingerprint set. Guarantees any shared substring of
+    length ≥ w+k−1 contributes a shared fingerprint — the local-sampling
+    property plain whole-doc hashing (``fingerprint``) lacks.
+
+    Emits two derived columns: ``n_fp`` (fingerprint count) and ``fp_xor``
+    (xor digest of the set, an order-independent checksum cheap to compare
+    and to aggregate further). Per-batch work is a per-doc loop of pure
+    numpy sliding-window ops; hashes never leave the task unless the caller
+    keeps them."""
+
+    def __init__(self, text_col: str = "text", k: int = 5, w: int = 4):
+        if k < 1 or w < 1:
+            raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+        self.text_col, self.k, self.w = text_col, k, w
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col].to_pylist()
+        n_fp = np.empty(len(texts), np.int64)
+        fp_xor = np.zeros(len(texts), np.uint64)
+        for i, x in enumerate(texts):
+            h = _kgram_hashes(x or "", self.k)
+            if len(h) >= self.w:
+                mins = np.lib.stride_tricks.sliding_window_view(h, self.w).min(axis=1)
+            else:  # fewer k-grams than one window: the single global min
+                mins = h.min(keepdims=True)
+            fps = np.unique(mins)
+            n_fp[i] = len(fps)
+            fp_xor[i] = np.bitwise_xor.reduce(fps)
+        t = t.append_column("n_fp", pa.array(n_fp, pa.int64()))
+        return t.append_column("fp_xor", pa.array(fp_xor.view(np.int64), pa.int64()))
+
+
 def fingerprint(text_col: str = "text", out: str = "fingerprint", normalize: bool = True):
     """64-bit document fingerprint over (optionally) normalized text —
     lowercase + collapsed whitespace, then a vectorized 64-bit hash. The

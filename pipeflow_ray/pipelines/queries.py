@@ -665,6 +665,62 @@ def token_counts_docs(sf_dir):
     return docs.map_batches(token_count(), batch_format="pyarrow").select_columns(["doc_id", "n_tokens"])
 
 
+def _winnow_oracle_sql(k: int, w: int) -> str:
+    """Winnowing fingerprints recomputed IN SQL: positional k-gram polynomial
+    codepoint hashes (HUGEINT % 2^64 ≡ numpy uint64 wraparound, the simhash-
+    oracle technique), per-doc window-of-w minimum via a frame window
+    function, distinct selected hashes, then count + signed-xor digest."""
+    from pipeflow_ray.functions.text import WINNOW_P
+
+    p = int(WINNOW_P)
+    powers = ", ".join(
+        f"({j + 1}, CAST('{pow(p, j, 1 << 64)}' AS UBIGINT))" for j in range(k)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, CASE WHEN length(coalesce(text, '')) < {k}
+       THEN rpad(coalesce(text, ''), {k}, ' ') ELSE coalesce(text, '') END AS tx
+  FROM documents),
+pos AS (SELECT doc_id, tx, CAST(unnest(range(1, length(tx) - {k - 2})) AS INT) AS g FROM base),
+pw(j, p) AS (VALUES {powers}),
+gh AS (
+  SELECT doc_id, g,
+         CAST(SUM(CAST(ascii(substr(tx, g + pw.j - 1, 1)) AS HUGEINT) * CAST(pw.p AS HUGEINT))
+              % 18446744073709551616 AS UBIGINT) AS h
+  FROM pos CROSS JOIN pw GROUP BY doc_id, g),
+wm AS (
+  SELECT doc_id, g,
+         min(h) OVER (PARTITION BY doc_id ORDER BY g
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mh,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM gh),
+sel AS (
+  SELECT DISTINCT doc_id, mh FROM wm WHERE g <= n - {w - 1}
+  UNION ALL
+  SELECT doc_id, min(h) AS mh FROM gh GROUP BY doc_id HAVING count(*) < {w})
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_fp,
+       CAST(CAST(bit_xor(mh) AS HUGEINT)
+            - CASE WHEN bit_xor(mh) >= CAST('9223372036854775808' AS UBIGINT)
+                   THEN CAST('18446744073709551616' AS HUGEINT)
+                   ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS fp_xor
+FROM sel GROUP BY doc_id"""
+
+
+@q("winnow_fingerprint_docs", _winnow_oracle_sql(5, 4))
+def winnow_fingerprint_docs(sf_dir):
+    """MOSS winnowing fingerprints (k=5 grams, window w=4) per document —
+    the rolling-hash document-fingerprinting op; oracle recomputes the full
+    selection in SQL (count + xor digest are bit-identical)."""
+    from pipeflow_ray.functions.text import WinnowFingerprint
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(
+        WinnowFingerprint, fn_constructor_kwargs=dict(k=5, w=4),
+        batch_format="pyarrow", concurrency=(1, 4)
+    ).select_columns(["doc_id", "n_fp", "fp_xor"])
+
+
 @q(
     "ann_topk",
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),

@@ -224,3 +224,51 @@ def test_image_resize_payload_roundtrip():
     ).to_pandas()
     assert (decoded.width == 16).all() and (decoded.height == 16).all()
     assert decoded.mean_intensity.between(0, 255).all()
+
+
+def test_winnow_fingerprint_properties():
+    """Winnowing guarantee: a shared substring of length >= w+k-1 yields a
+    shared fingerprint; plus edge cases (short text, empty, unicode)."""
+    import numpy as np
+    from pipeflow_ray.functions.text import WinnowFingerprint, _kgram_hashes
+
+    k, w = 5, 4
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": [
+                "AAAA " + shared + " BBBB",
+                "CCCCCC " + shared + " DDDD",
+                "zz",          # shorter than k -> padded, single global min
+                "",            # empty -> padded to k spaces, one k-gram
+                "héllo wörld naïve café crème brûlée",  # codepoint path
+            ],
+        }
+    )
+    out = WinnowFingerprint(k=k, w=w)(t)
+    assert out.column_names == ["doc_id", "text", "n_fp", "fp_xor"]
+    n_fp = out["n_fp"].to_pylist()
+    assert n_fp[2] == 1 and n_fp[3] == 1
+    assert all(n >= 1 for n in n_fp)
+
+    def fp_set(text):
+        h = _kgram_hashes(text, k)
+        if len(h) >= w:
+            mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+        else:
+            mins = h.min(keepdims=True)
+        return set(np.unique(mins).tolist())
+
+    a, b = fp_set(t["text"][0].as_py()), fp_set(t["text"][1].as_py())
+    assert a & b, "docs sharing a long substring must share a fingerprint"
+    assert len(a) == n_fp[0] and len(b) == n_fp[1]
+    # determinism
+    out2 = WinnowFingerprint(k=k, w=w)(t)
+    assert out["fp_xor"].to_pylist() == out2["fp_xor"].to_pylist()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        WinnowFingerprint(k=0)
+    with _pytest.raises(ValueError):
+        WinnowFingerprint(w=0)
