@@ -60,7 +60,14 @@ def _session_fragments(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
-@ray.remote
+# Streaming-actor CPU reservations are FRACTIONAL by design: replayers are
+# parquet-decode/IO-bound (0.5), bucket-state actors are bursty appliers
+# (0.25), the watermark actor is pure coordination (0). num_cpus is a
+# scheduling reservation, not a cap — full-core reservations make a
+# 25-actor streaming topology wait for a whole node's worth of slots to
+# free (measured: +2-4 s per run queued behind a finishing batch stage's
+# dying worker pool) while the actors would mostly sit in IO or idle.
+@ray.remote(num_cpus=0.25)
 class SessionBucketActor:
     """Owns the open-session state for one hash bucket of conversations.
 
@@ -277,7 +284,7 @@ class StreamingSessionRunner:
         return sessions.drop(columns=["start_us", "end_us"]), late, metrics
 
 
-@ray.remote
+@ray.remote(num_cpus=0.25)
 class TumblingBucketActor:
     """Open tumbling-window state for one hash bucket of keys:
     ``(key, window_start_us) → [count, sum]`` partials. A window is finalized
@@ -541,7 +548,7 @@ class StreamingSlidingRunner(StreamingTumblingRunner):
 # totally-ordered arrival semantics; these are the 100-TB path).
 # ---------------------------------------------------------------------------
 
-@ray.remote
+@ray.remote(num_cpus=0)
 class WatermarkActor:
     """Global low-watermark coordinator: each log shard advances its own
     watermark (max event time seen − allowed lateness); the GLOBAL watermark
@@ -640,7 +647,7 @@ _MODE_COLUMNS = {
 }
 
 
-@ray.remote
+@ray.remote(num_cpus=0.5)
 class ShardReplayer:
     """Owns the sequential replay of ONE log partition (a contiguous group of
     shard files in name order) for any streaming mode. Decodes micro-batches
@@ -1188,7 +1195,7 @@ class CheckpointingSessionRunner(StreamingSessionRunner):
 # matching assistant/tool turns, state held in actor pools)
 # ---------------------------------------------------------------------------
 
-@ray.remote
+@ray.remote(num_cpus=0.25)
 class PairJoinActor:
     """Incremental conv_id-keyed hash join state for one bucket.
 
