@@ -7,9 +7,17 @@
 - :func:`ivf_topk` — the scale path: train centroids on a sample (driver-side
   mini k-means), assign each vector to its nearest centroid in a pass, then
   search only the ``nprobe`` closest clusters per query.
+
+Both per-batch kernels are stateless module-level functions over Ray Data's
+warm task-worker pool — a per-query actor pool costs ~1 s of process spawn
+per call (the minhash ``_cached_hasher`` finding); the broadcast payload is
+fetched from plasma once per worker process via an lru cache keyed on the
+ObjectRef.
 """
 
 from __future__ import annotations
+
+import functools as _functools
 
 import numpy as np
 import pyarrow as pa
@@ -20,6 +28,33 @@ import ray.data
 
 def _to_matrix(col) -> np.ndarray:
     return np.stack(col.to_pylist()).astype(np.float64)
+
+
+@_functools.lru_cache(maxsize=8)
+def _cached_broadcast(ref: ray.ObjectRef):
+    """One plasma fetch per worker process per broadcast object (refs are
+    hashable; the cache pins at most 8 small query/centroid payloads)."""
+    return ray.get(ref)
+
+
+def _bf_partial(t: pa.Table, *, qref, k: int, vec_col: str, id_col: str) -> pa.Table:
+    q = _cached_broadcast(qref)
+    vecs = _to_matrix(t[vec_col])
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True).clip(min=1e-12)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    sims = q @ vecs.T  # (Q, B)
+    kk = min(k, sims.shape[1])
+    top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    qid = np.repeat(np.arange(len(q)), kk)
+    vid = ids[top.ravel()]
+    sc = np.take_along_axis(sims, top, axis=1).ravel()
+    return pa.table(
+        {
+            "query_id": pa.array(qid, pa.int64()),
+            id_col: pa.array(vid),
+            "cosine": pa.array(sc, pa.float64()),
+        }
+    )
 
 
 def brute_force_topk(
@@ -37,30 +72,11 @@ def brute_force_topk(
     qn = queries.astype(np.float64)
     qn = qn / np.linalg.norm(qn, axis=1, keepdims=True).clip(min=1e-12)
     qref = ray.put(qn)
-
-    class _Partial:
-        def __init__(self):
-            self.q = ray.get(qref)  # once per actor
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vecs = _to_matrix(t[vec_col])
-            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True).clip(min=1e-12)
-            ids = t[id_col].to_numpy(zero_copy_only=False)
-            sims = self.q @ vecs.T  # (Q, B)
-            kk = min(k, sims.shape[1])
-            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            qid = np.repeat(np.arange(len(self.q)), kk)
-            vid = ids[top.ravel()]
-            sc = np.take_along_axis(sims, top, axis=1).ravel()
-            return pa.table(
-                {
-                    "query_id": pa.array(qid, pa.int64()),
-                    id_col: pa.array(vid),
-                    "cosine": pa.array(sc, pa.float64()),
-                }
-            )
-
-    partials = ds.map_batches(_Partial, batch_format="pyarrow", concurrency=(1, 8))
+    partials = ds.map_batches(
+        _bf_partial,
+        fn_kwargs=dict(qref=qref, k=k, vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow",
+    )
     return _merge_partial_topk(partials, k, id_col)
 
 
@@ -112,6 +128,39 @@ def train_centroids(
     return cent
 
 
+def _ivf_partial(t: pa.Table, *, cref, k: int, vec_col: str, id_col: str) -> pa.Table:
+    cent, q, probe_sets = _cached_broadcast(cref)
+    vecs = _to_matrix(t[vec_col])
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    cluster = d.argmin(1)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True).clip(min=1e-12)
+    sims = q @ vn.T
+    out_q, out_i, out_s = [], [], []
+    for qi, pset in enumerate(probe_sets):
+        mask = np.isin(cluster, list(pset))
+        if not mask.any():
+            continue
+        s = sims[qi][mask]
+        vid = ids[mask]
+        kk = min(k, len(s))
+        top = np.argpartition(-s, kk - 1)[:kk]
+        out_q.append(np.full(kk, qi, np.int64))
+        out_i.append(vid[top])
+        out_s.append(s[top])
+    if not out_q:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_i)),
+            "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+        }
+    )
+
+
 def ivf_topk(
     ds: ray.data.Dataset,
     queries: np.ndarray,
@@ -133,41 +182,9 @@ def ivf_topk(
     probed = np.argsort(qd, axis=1)[:, :nprobe]  # (Q, nprobe)
     probe_sets = [set(row) for row in probed]
     cref = ray.put((cent, qn, probe_sets))
-
-    class _Partial:
-        def __init__(self):
-            self.cent, self.q, self.probe_sets = ray.get(cref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vecs = _to_matrix(t[vec_col])
-            ids = t[id_col].to_numpy(zero_copy_only=False)
-            d = ((vecs[:, None, :] - self.cent[None, :, :]) ** 2).sum(-1)
-            cluster = d.argmin(1)
-            vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True).clip(min=1e-12)
-            sims = self.q @ vn.T
-            out_q, out_i, out_s = [], [], []
-            for qi, pset in enumerate(self.probe_sets):
-                mask = np.isin(cluster, list(pset))
-                if not mask.any():
-                    continue
-                s = sims[qi][mask]
-                vid = ids[mask]
-                kk = min(k, len(s))
-                top = np.argpartition(-s, kk - 1)[:kk]
-                out_q.append(np.full(kk, qi, np.int64))
-                out_i.append(vid[top])
-                out_s.append(s[top])
-            if not out_q:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 id_col: pa.array([], pa.int64()),
-                                 "cosine": pa.array([], pa.float64())})
-            return pa.table(
-                {
-                    "query_id": pa.array(np.concatenate(out_q)),
-                    id_col: pa.array(np.concatenate(out_i)),
-                    "cosine": pa.array(np.concatenate(out_s), pa.float64()),
-                }
-            )
-
-    partials = ds.map_batches(_Partial, batch_format="pyarrow", concurrency=(1, 8))
+    partials = ds.map_batches(
+        _ivf_partial,
+        fn_kwargs=dict(cref=cref, k=k, vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow",
+    )
     return _merge_partial_topk(partials, k, id_col)
