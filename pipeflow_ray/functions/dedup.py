@@ -183,10 +183,10 @@ def minhash_lsh_candidates(
     deduped across bands by a final distinct.
     """
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_args=(text_col, id_col, num_perm, k),
+        _sig_batch,
+        fn_kwargs=dict(text_col=text_col, id_col=id_col, num_perm=num_perm,
+                       k=k, seed=42),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     return _candidates_from_sigs(sigs, id_col, num_perm, bands)
 
@@ -601,6 +601,18 @@ class SimHasher:
         )
 
 
+@_functools.lru_cache(maxsize=8)
+def _cached_simhasher(text_col: str, id_col: str) -> "SimHasher":
+    return SimHasher(text_col, id_col)
+
+
+def _simhash_sig_batch(t: pa.Table, *, text_col: str, id_col: str) -> pa.Table:
+    """Stateless wrapper over a per-process cached :class:`SimHasher` — same
+    rationale as :func:`_sig_batch` (per-query actor pools cost seconds of
+    spawn for regex/coefficient state that caches per worker)."""
+    return _cached_simhasher(text_col, id_col)(t)
+
+
 def simhash_dup_pairs(
     ds: ray.data.Dataset,
     max_hamming: int = 3,
@@ -625,7 +637,8 @@ def simhash_dup_pairs(
     bands = num_bands if num_bands is not None else min(max_hamming + 1, 64)
     bounds = np.linspace(0, 64, bands + 1).astype(np.int64)
     sigs = ds.map_batches(
-        SimHasher, fn_constructor_args=(text_col, id_col), batch_format="pyarrow", concurrency=(1, 8)
+        _simhash_sig_batch, fn_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
     )
 
     def _bands(t: pa.Table) -> pa.Table:

@@ -8,6 +8,8 @@ class so its per-language patterns compile once per actor, not per batch.
 
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -154,6 +156,29 @@ class WinnowFingerprint:
             fp_xor[i] = np.bitwise_xor.reduce(fps)
         t = t.append_column("n_fp", pa.array(n_fp, pa.int64()))
         return t.append_column("fp_xor", pa.array(fp_xor.view(np.int64), pa.int64()))
+
+
+# --- stateless wrappers over per-process cached scorers -------------------
+# Light state (compiled regexes, hash coefficients) caches per worker
+# process; a per-query actor pool pays ~1 s of process spawn for the same
+# effect. Heavy-state stages (multimodal decoders) keep real actor pools.
+
+@_functools.lru_cache(maxsize=8)
+def _cached_stage(cls_name: str, *args):
+    cls = {"lang": LangId, "quality": QualityScore, "winnow": WinnowFingerprint}[cls_name]
+    return cls(*args)
+
+
+def lang_id_batch(t: pa.Table, *, text_col: str = "text", out: str = "lang_pred") -> pa.Table:
+    return _cached_stage("lang", text_col, out)(t)
+
+
+def quality_batch(t: pa.Table, *, text_col: str = "text") -> pa.Table:
+    return _cached_stage("quality", text_col)(t)
+
+
+def winnow_batch(t: pa.Table, *, text_col: str = "text", k: int = 5, w: int = 4) -> pa.Table:
+    return _cached_stage("winnow", text_col, k, w)(t)
 
 
 def fingerprint(text_col: str = "text", out: str = "fingerprint", normalize: bool = True):

@@ -712,12 +712,11 @@ def winnow_fingerprint_docs(sf_dir):
     """MOSS winnowing fingerprints (k=5 grams, window w=4) per document —
     the rolling-hash document-fingerprinting op; oracle recomputes the full
     selection in SQL (count + xor digest are bit-identical)."""
-    from pipeflow_ray.functions.text import WinnowFingerprint
+    from pipeflow_ray.functions.text import winnow_batch
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(
-        WinnowFingerprint, fn_constructor_kwargs=dict(k=5, w=4),
-        batch_format="pyarrow", concurrency=(1, 4)
+        winnow_batch, fn_kwargs=dict(k=5, w=4), batch_format="pyarrow"
     ).select_columns(["doc_id", "n_fp", "fp_xor"])
 
 
@@ -778,10 +777,10 @@ _LANG_SQL_VOTES = {
         FROM documents""",
 )
 def lang_id_docs(sf_dir):
-    from pipeflow_ray.functions.text import LangId
+    from pipeflow_ray.functions.text import lang_id_batch
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4)).select_columns(
+    return docs.map_batches(lang_id_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "lang_pred"]
     )
 
@@ -812,10 +811,10 @@ FROM r"""
 
 @q("quality_docs", _QUAL_SQL)
 def quality_docs(sf_dir):
-    from pipeflow_ray.functions.text import QualityScore
+    from pipeflow_ray.functions.text import quality_batch
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return docs.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 4)).select_columns(
+    return docs.map_batches(quality_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "quality", "alpha_ratio", "stopword_ratio"]
     )
 
@@ -1038,13 +1037,13 @@ def curation_docs(sf_dir):
     recomputes every stage in SQL — one query exercising scoring, fingerprint
     dedup and LSH near-dup in composition."""
     from pipeflow_ray.functions.dedup import exact_dedup, minhash_dedup_pairs
-    from pipeflow_ray.functions.text import QualityScore
+    from pipeflow_ray.functions.text import quality_batch
     from pipeflow_ray.stages.join import anti_join
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     survivors = exact_dedup(docs)  # min doc_id per normalized fingerprint
-    scored = survivors.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 4))
+    scored = survivors.map_batches(quality_batch, batch_format="pyarrow")
 
     def _keep(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t.filter(pc.greater(t["quality"], 0.5))["doc_id"]})

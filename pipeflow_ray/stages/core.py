@@ -8,6 +8,7 @@ batch_format="pyarrow")`` — no Python-per-row work on the hot path.
 
 from __future__ import annotations
 
+import functools as _functools
 from typing import Callable
 
 import numpy as np
@@ -20,6 +21,16 @@ import ray
 
 
 PredicateLike = "pads.Expression | Callable[[pa.Table], pa.ChunkedArray | pa.Array | np.ndarray]"
+
+
+@_functools.lru_cache(maxsize=16)
+def cached_broadcast(ref: "ray.ObjectRef"):
+    """One plasma fetch per worker process per broadcast object. Lets a
+    light-state stage stay a STATELESS map_batches fn over Ray Data's warm
+    task pool instead of spawning a per-query actor pool (~1 s of process
+    spawn per call); ObjectRefs are hashable, and the cache pins at most 16
+    small payloads (lookup tables, query matrices) per worker."""
+    return ray.get(ref)
 
 
 def filter_batches(predicate) -> Callable[[pa.Table], pa.Table]:

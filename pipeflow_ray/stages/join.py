@@ -34,21 +34,22 @@ def broadcast_join(
     suffix: str = "_r",
 ) -> ray.data.Dataset:
     """Enrich *ds* with a small dimension table: ``ray.put`` ONCE on the
-    driver, each map task reads the shared object-store copy (zero re-ship per
-    batch) and does a vectorized pandas merge."""
+    driver, each map task reads the shared object-store copy via a
+    per-worker-process cache (zero re-ship per batch) and does a vectorized
+    pandas merge. Stateless fn, not an actor pool: the only state is the
+    cached broadcast, and a per-query pool costs ~1 s of process spawn."""
+    from pipeflow_ray.stages.core import cached_broadcast
+
     if isinstance(small, pa.Table):
         small = small.to_pandas()
     ref = ray.put(small)
     on_cols = [on] if isinstance(on, str) else list(on)
 
-    class _Join:
-        def __init__(self):
-            self.small = ray.get(ref)  # once per actor/worker
+    def _join(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(cached_broadcast(ref), on=on_cols, how=how,
+                           suffixes=("", suffix))
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on_cols, how=how, suffixes=("", suffix))
-
-    return ds.map_batches(_Join, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(_join, batch_format="pandas")
 
 
 def turn_response_join(
