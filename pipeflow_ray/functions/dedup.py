@@ -784,3 +784,90 @@ def embedding_neardup_pairs(
         batch_format="pandas",
     )
     return _stable_empty(out, _EMPTY_COSINE)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: connected components over verified pairs
+# ---------------------------------------------------------------------------
+
+_EMPTY_CLUSTERS = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+
+
+def neardup_clusters(
+    pairs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    max_rounds: int = 16,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Connected components over verified near-dup pairs → one row per
+    clustered doc: ``(doc_id, cluster_id)`` with ``cluster_id`` = the min doc
+    id of its component (the canonical survivor; docs in no pair are implicit
+    singletons and are not emitted).
+
+    Distributed min-label propagation: labels start as each node's min
+    neighbor; every round attaches neighbor labels through the same
+    co-partitioned ``hash_exchange`` join the verify stage uses and takes the
+    per-node min. Rounds = O(component diameter) — near-dup components are
+    small cliques/chains in practice, so 2–4 rounds reach the fixpoint; each
+    round moves only (int64, int64) rows, O(pairs), never documents. The
+    driver sees one ``changed`` counter per round (ints, not ids)."""
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(_EMPTY_CLUSTERS.empty_table())
+
+    def _sym(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": pa.array(np.concatenate([a, b])),
+                         "v": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs.map_batches(_sym, batch_format="pyarrow").materialize()
+
+    # round 0: label(u) = min(u, min neighbor) — one grouped pass over edges
+    def _init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("u", sort=False)["v"].min().reset_index()
+        g["label"] = np.minimum(g.u.to_numpy(), g.v.to_numpy())
+        return g[["u", "label"]].rename(columns={"u": "id"})
+
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    labels = grouped_by_bucket(edges, ["u"], _init_labels, num_buckets,
+                               batch_format="pandas")
+
+    def _min_label(df: pd.DataFrame) -> pd.DataFrame:
+        # rows: old labels (is_old=1) + neighbor-propagated candidates
+        new = df.groupby("id", sort=False)["label"].min().reset_index()
+        old = df[df.is_old == 1][["id", "label"]].rename(columns={"label": "old"})
+        out = new.merge(old, on="id", how="left")
+        out["changed"] = (out.label < out.old.fillna(np.iinfo(np.int64).max)).astype(np.int64)
+        return out[["id", "label", "changed"]]
+
+    for _ in range(max_rounds):
+        labels = labels.materialize()
+        # neighbor labels: edge (u,v) picks up label(v) → candidate for u
+        prop = attach_by_id(edges, labels, "v", "id", ["label"], "",
+                            num_buckets=num_buckets)
+
+        def _cand(t: pa.Table) -> pa.Table:
+            return pa.table({"id": t["u"], "label": t["label"],
+                             "is_old": pa.array(np.zeros(t.num_rows, np.int8))})
+
+        def _old(t: pa.Table) -> pa.Table:
+            return pa.table({"id": t["id"], "label": t["label"],
+                             "is_old": pa.array(np.ones(t.num_rows, np.int8))})
+
+        merged = prop.map_batches(_cand, batch_format="pyarrow").union(
+            labels.map_batches(_old, batch_format="pyarrow"))
+        nxt = grouped_by_bucket(merged, ["id"], _min_label, num_buckets,
+                                batch_format="pandas").materialize()
+        changed = nxt.sum("changed")
+        labels = nxt.drop_columns(["changed"])
+        if not changed:
+            break
+
+    def _fmt(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t["id"].cast(pa.int64()),
+                         "cluster_id": t["label"].cast(pa.int64())})
+
+    return _stable_empty(labels.map_batches(_fmt, batch_format="pyarrow"),
+                         pa.schema([(id_col, pa.int64()), ("cluster_id", pa.int64())]))

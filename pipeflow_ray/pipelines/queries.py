@@ -906,6 +906,54 @@ def ngram_jaccard_docs(sf_dir):
     return pairs.map_batches(_fmt, batch_format="pyarrow")
 
 
+def _clusters_oracle_sql(k: int, thr: float) -> str:
+    """Near-dup clusters ground truth: exact all-pairs k-shingle Jaccard
+    pairs (same CTEs as the minhash oracle), then connected components via a
+    recursive reachability CTE — min component id per clustered doc."""
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         CASE WHEN length(coalesce(text, '')) < {k}
+              THEN rpad(coalesce(text, ''), {k}, ' ')
+              ELSE coalesce(text, '') END AS tx
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, substr(tx, CAST(g AS INT), {k}) AS s
+  FROM (SELECT doc_id, tx, unnest(range(1, length(tx) - {k - 2})) AS g FROM base)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+prs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2) x
+  JOIN cnt ca ON ca.doc_id = x.id_a
+  JOIN cnt cb ON cb.doc_id = x.id_b
+  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {thr}),
+edges AS (SELECT id_a AS u, id_b AS v FROM prs
+          UNION ALL SELECT id_b, id_a FROM prs),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach(id, comp) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id"""
+
+
+@q("dedup_clusters_docs", _clusters_oracle_sql(5, 0.7))
+def dedup_clusters_docs(sf_dir):
+    """Near-dup CLUSTER extraction: verified minhash pairs (exact recall on
+    this corpus, see minhash_pairs_docs) → distributed min-label-propagation
+    connected components → (doc_id, cluster_id = min id of the component).
+    The oracle recomputes exact all-pairs Jaccard edges and walks components
+    with a recursive CTE."""
+    from pipeflow_ray.functions.dedup import minhash_dedup_pairs, neardup_clusters
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(docs, threshold=0.7)
+    return neardup_clusters(pairs)
+
+
 def _simhash_oracle_sql() -> str:
     """SimHash oracle: recompute the signature IN SQL — polynomial token hash
     (HUGEINT % 2^64 ≡ numpy uint64 wraparound), per-bit weighted sign votes,

@@ -272,3 +272,24 @@ def test_winnow_fingerprint_properties():
         WinnowFingerprint(k=0)
     with _pytest.raises(ValueError):
         WinnowFingerprint(w=0)
+
+
+def test_neardup_clusters_components():
+    """Min-label propagation equals true connected components, including a
+    diameter-4 chain (multiple propagation rounds) and an empty edge set."""
+    from pipeflow_ray.functions.dedup import neardup_clusters
+
+    pairs = pa.table(
+        {
+            "id_a": pa.array([1, 2, 5, 10, 11, 12, 13], pa.int64()),
+            "id_b": pa.array([2, 3, 6, 11, 12, 13, 14], pa.int64()),
+        }
+    )
+    out = neardup_clusters(ray.data.from_arrow(pairs)).to_pandas()
+    got = dict(zip(out.doc_id, out.cluster_id))
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    eout = neardup_clusters(ray.data.from_arrow(empty))
+    assert eout.count() == 0
+    assert [f.name for f in eout.schema().base_schema] == ["doc_id", "cluster_id"]
