@@ -1,18 +1,29 @@
 """Training-data curation over a document corpus: exact dedup, MinHash
-near-dup pairs, quality/language filtering, ANN similarity search.
+near-dup pairs → connected-component clusters, winnowing fingerprints,
+quality/language filtering, ANN similarity search.
 
 Run: PYTHONPATH=/root/repo python examples/dedup_corpus.py
 """
 
 import numpy as np
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
 import ray.data
 
-from pipeflow_ray.functions.dedup import exact_dedup, minhash_dedup_pairs
+from pipeflow_ray.functions.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    neardup_clusters,
+)
 from pipeflow_ray.functions.similarity import brute_force_topk
-from pipeflow_ray.functions.text import LangId, QualityScore, token_count
+from pipeflow_ray.functions.text import (
+    lang_id_batch,
+    quality_batch,
+    token_count,
+    winnow_batch,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -26,15 +37,28 @@ def main():
     pairs = minhash_dedup_pairs(docs, threshold=0.7)
     print("near-dup pairs (Jaccard ≥ 0.7):", pairs.count())
 
-    # autoscaling (1..2) pools: two FIXED pools of 2 on a 4-cpu session would
-    # claim every CPU and starve the downstream tasks (see CLAUDE.md gotcha)
+    clusters = neardup_clusters(pairs).to_pandas()
+    n_clusters = clusters.cluster_id.nunique() if len(clusters) else 0
+    print(f"near-dup clusters: {len(clusters)} docs in {n_clusters} components "
+          f"(survivor = min doc_id per component)")
+
+    # light-state scorers are stateless fns over the warm task pool — their
+    # regex/coefficient state caches once per worker process (no actor pools)
     scored = (
-        docs.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 2), num_cpus=1)
-        .map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2), num_cpus=1)
+        docs.map_batches(quality_batch, batch_format="pyarrow")
+        .map_batches(lang_id_batch, batch_format="pyarrow")
         .map_batches(token_count(), batch_format="pyarrow")
+        .map_batches(winnow_batch, batch_format="pyarrow")
     )
-    good = scored.filter(lambda r: r["quality"] > 0.5 and r["lang_pred"] == "en")
+    good = scored.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater(t["quality"], 0.5),
+                                   pc.equal(t["lang_pred"], "en"))),
+        batch_format="pyarrow",
+    )
     print("quality+lang filtered:", good.count(), "docs")
+    sample = good.limit(3).to_pandas()
+    print(sample[["doc_id", "quality", "lang_pred", "n_tokens", "n_fp"]]
+          .to_string(index=False))
 
     emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
     queries = np.stack(emb.embedding.head(2).to_numpy()).astype(np.float64)
