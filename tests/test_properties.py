@@ -104,3 +104,72 @@ def test_session_aggregate_property(t):
     )
     # conservation: every row in exactly one session
     assert out.n.sum() == t.num_rows
+
+
+@st.composite
+def edge_lists(draw):
+    n = draw(st.integers(1, 40))
+    a = draw(st.lists(st.integers(0, 30), min_size=n, max_size=n))
+    b = draw(st.lists(st.integers(0, 30), min_size=n, max_size=n))
+    # normalize to id_a < id_b, drop self-loops (the near-dup pair invariant)
+    pairs = {(min(x, y), max(x, y)) for x, y in zip(a, b) if x != y}
+    if not pairs:
+        pairs = {(0, 1)}
+    pa_, pb = zip(*sorted(pairs))
+    return pa.table({"id_a": pa.array(pa_, pa.int64()), "id_b": pa.array(pb, pa.int64())})
+
+
+def _union_find_components(pairs: pa.Table) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
+        parent.setdefault(x, x)
+        parent.setdefault(y, y)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    return {x: find(x) for x in parent}
+
+
+@given(edge_lists())
+@_settings
+def test_neardup_clusters_matches_union_find(pairs):
+    from pipeflow_ray.functions.dedup import neardup_clusters
+
+    out = neardup_clusters(ray.data.from_arrow(pairs)).to_pandas()
+    got = dict(zip(out.doc_id, out.cluster_id))
+    assert got == _union_find_components(pairs)
+
+
+@st.composite
+def doc_texts(draw):
+    alphabet = st.characters(min_codepoint=32, max_codepoint=0x2FF)
+    return draw(st.lists(st.text(alphabet, max_size=120), min_size=1, max_size=12))
+
+
+@given(doc_texts(), st.integers(2, 6), st.integers(1, 5))
+@_settings
+def test_winnow_fingerprint_reference_property(texts, k, w):
+    """Per-doc winnowing equals a direct per-window reference computation;
+    the shared-substring guarantee holds for identical docs."""
+    from pipeflow_ray.functions.text import WinnowFingerprint, _kgram_hashes
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    out = WinnowFingerprint(k=k, w=w)(t)
+    for i, x in enumerate(texts):
+        h = _kgram_hashes(x or "", k)
+        if len(h) >= w:
+            ref = {min(h[j:j + w]) for j in range(len(h) - w + 1)}
+        else:
+            ref = {h.min()}
+        assert out["n_fp"][i].as_py() == len(ref)
+        acc = np.uint64(0)
+        for v in ref:
+            acc ^= np.uint64(v)
+        assert out["fp_xor"][i].as_py() == acc.view(np.int64).item()
