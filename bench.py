@@ -72,6 +72,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "transcripts_sessions",
         "streaming_sessions",
         "dedup_exact_docs",
+        "winnow_fingerprint_docs",
         "minhash_pairs_docs",
         "ann_topk",
         "hash_join_segment",
