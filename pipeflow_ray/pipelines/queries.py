@@ -654,6 +654,22 @@ def dedup_exact_docs(sf_dir):
 
 
 @q(
+    "streaming_dedup_docs",
+    """SELECT min(doc_id) AS doc_id FROM documents
+       GROUP BY trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))""",
+)
+def streaming_dedup_docs(sf_dir):
+    """Single-pass streaming exact dedup (parallel shard replay → bucketed
+    fingerprint state actors → end-of-stream flush). Min-id resolution is
+    commutative, so the result equals batch exact_dedup — the same SQL
+    oracle — regardless of shard interleaving."""
+    from pipeflow_ray.pipelines.streaming import StreamingDedupRunner
+
+    kept, _metrics = StreamingDedupRunner().run(f"{sf_dir}/documents.parquet")
+    return pa.table({"doc_id": pa.array(np.sort(kept.doc_id.to_numpy()), pa.int64())})
+
+
+@q(
     "token_counts_docs",
     """SELECT doc_id, CAST(length(regexp_extract_all(coalesce(text, ''), '\\S+')) AS BIGINT) AS n_tokens
        FROM documents""",

@@ -1709,3 +1709,109 @@ class ParallelCheckpointingJoinRunner(_ParallelCheckpointMixin, ParallelJoinRunn
             checkpoint_every: int = 10, stop_after_epochs: int | None = None):
         return self._run_checkpointed(parquet_path, out_dir, micro_batch_rows,
                                       checkpoint_every, stop_after_epochs)
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup: single-pass dedup-on-ingest with bounded state
+# ---------------------------------------------------------------------------
+
+
+@ray.remote(num_cpus=0.25)
+class DedupBucketActor:
+    """Seen-fingerprint state for one hash bucket: fingerprint → min doc id.
+    State is O(distinct fingerprints in the bucket) int64 pairs — the content
+    itself is never held, which is what makes dedup-on-ingest feasible at
+    corpus scale (a 10^9-doc bucket shard is ~16 GB of ints across ALL
+    buckets, spread over the pool)."""
+
+    def __init__(self):
+        self.best: dict[int, int] = {}
+
+    def process(self, fps: np.ndarray, ids: np.ndarray) -> None:
+        # vectorized pre-reduce to batch-distinct fingerprints (sort + min per
+        # segment); the dict update loop then touches each DISTINCT value once
+        order = np.lexsort((ids, fps))
+        f_s, i_s = fps[order], ids[order]
+        first = np.ones(len(f_s), dtype=bool)
+        first[1:] = f_s[1:] != f_s[:-1]
+        best = self.best
+        for f, i in zip(f_s[first].tolist(), i_s[first].tolist()):
+            prev = best.get(f)
+            if prev is None or i < prev:
+                best[f] = i
+
+    def flush(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"fingerprint": np.fromiter(self.best.keys(), np.int64, len(self.best)),
+             "doc_id": np.fromiter(self.best.values(), np.int64, len(self.best))}
+        )
+
+
+@ray.remote(num_cpus=0.5)
+def _replay_dedup_shard(files: list, text_col: str, id_col: str,
+                        micro_batch_rows: int, *buckets) -> int:
+    """Stream one shard group: normalize → 64-bit fingerprint (the SAME
+    kernel as batch ``exact_dedup``, so the two paths group identically) →
+    route (fingerprint, id) ints to the bucket state actors. The driver never
+    decodes a byte; per-batch futures pipeline (same-caller ordering)."""
+    from pipeflow_ray.functions.text import fingerprint
+
+    fp_fn = fingerprint(text_col)
+    nb = len(buckets)
+    rows = 0
+    pending: list = []
+    for f in files:
+        for rb in pq.ParquetFile(str(f)).iter_batches(
+            batch_size=micro_batch_rows, columns=[id_col, text_col]
+        ):
+            t = fp_fn(pa.Table.from_batches([rb]))
+            fps = t["fingerprint"].to_numpy(zero_copy_only=False)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            rows += len(ids)
+            b = fps.view(np.uint64) % np.uint64(nb)
+            pending.extend(
+                buckets[k].process.remote(fps[b == k], ids[b == k])
+                for k in range(nb)
+                if (b == k).any()
+            )
+            if len(pending) > 256:
+                ray.get(pending)
+                pending = []
+    if pending:
+        ray.get(pending)
+    return rows
+
+
+class StreamingDedupRunner:
+    """Single-pass streaming exact dedup over a sharded corpus log: parallel
+    shard replayers compute normalized-content fingerprints in the tasks and
+    route ONLY (fingerprint, id) int pairs to bucketed state actors; the
+    end-of-stream flush yields the min doc id per fingerprint — exactly the
+    batch ``exact_dedup`` result (min-id is commutative, so shard interleaving
+    cannot change it), reached in one pass with fingerprint-only state.
+
+    This is the dedup-at-ingest shape for an unbounded corpus: state grows
+    with DISTINCT content, not stream length, and a mid-stream ``flush`` at
+    any barrier gives the dedup of everything ingested so far."""
+
+    def __init__(self, num_buckets: int = 8, max_replayers: int = 16):
+        self.num_buckets = num_buckets
+        self.max_replayers = max_replayers
+
+    def run(self, parquet_path: str, text_col: str = "text",
+            id_col: str = "doc_id", micro_batch_rows: int = 65_536):
+        files = _shard_files(parquet_path)
+        groups = _shard_groups(files, self.max_replayers)
+        actors = [DedupBucketActor.remote() for _ in range(self.num_buckets)]
+        rows = ray.get([
+            _replay_dedup_shard.remote(g, text_col, id_col, micro_batch_rows, *actors)
+            for g in groups
+        ])
+        parts = [f for f in ray.get([a.flush.remote() for a in actors]) if len(f)]
+        kept = (pd.concat(parts, ignore_index=True) if parts
+                else pd.DataFrame({"fingerprint": pd.Series(dtype=np.int64),
+                                   "doc_id": pd.Series(dtype=np.int64)}))
+        metrics = {"rows": int(sum(rows)), "kept": int(len(kept)),
+                   "shards": len(files), "replayers": len(groups),
+                   "replayer_rows": [int(r) for r in rows]}
+        return kept, metrics

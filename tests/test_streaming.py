@@ -407,3 +407,44 @@ def test_checkpoint_reruns_are_noops(transcripts_path, tmp_path):
     assert len(completed_partitions(j_dir)) == jn
     assert read_committed(j_dir).num_rows == jrows
     assert jm1["partitions"] == jm2["partitions"]
+
+
+def test_streaming_dedup_equals_batch_across_shards(tmp_path):
+    """Duplicates planted ACROSS shards (different replayers): the streaming
+    min-id flush equals batch exact_dedup — min is commutative, so parallel
+    shard interleaving cannot change the result."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from pipeflow_ray.functions.dedup import exact_dedup
+    from pipeflow_ray.pipelines.streaming import StreamingDedupRunner
+
+    rng = np.random.default_rng(7)
+    texts = [f"document body {i} {'x' * int(rng.integers(0, 20))}" for i in range(40)]
+    # shard k gets copies of texts [10k..10k+20) — overlapping ranges force
+    # cross-shard duplicate groups
+    d = tmp_path / "docs"
+    d.mkdir()
+    did = 0
+    all_rows = []
+    for k in range(3):
+        rows = []
+        for t in texts[10 * k: 10 * k + 20]:
+            rows.append((did, t))
+            did += 1
+        pq.write_table(
+            pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                      "text": [r[1] for r in rows]}),
+            d / f"part-{k:05d}.parquet")
+        all_rows.extend(rows)
+
+    kept, metrics = StreamingDedupRunner(num_buckets=4, max_replayers=3).run(str(d))
+    assert metrics["rows"] == len(all_rows) and metrics["replayers"] == 3
+
+    batch = exact_dedup(ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([r[0] for r in all_rows], pa.int64()),
+                  "text": [r[1] for r in all_rows]})))
+    want = sorted(batch.to_pandas().doc_id.tolist())
+    assert sorted(kept.doc_id.tolist()) == want
