@@ -71,6 +71,8 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "transcripts_turn_join",
         "transcripts_sessions",
         "streaming_sessions",
+        "cep_pattern_turns",
+        "streaming_cep_pattern",
         "dedup_exact_docs",
         "winnow_fingerprint_docs",
         "minhash_pairs_docs",

@@ -637,6 +637,59 @@ def streaming_sessions(sf_dir):
     return out
 
 
+_CEP_SQL = f"""WITH s AS (
+      SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS ts_us,
+             lead(role, 1) OVER w AS role1, lead(role, 2) OVER w AS role2,
+             lead(tool, 1) OVER w AS tool1,
+             lead(turn_idx, 2) OVER w AS ti2, lead(epoch_us(ts), 2) OVER w AS ts2
+      FROM read_parquet('{_TP001}')
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+    SELECT conv_id, CAST(turn_idx AS BIGINT) AS start_turn_idx,
+           CAST(ti2 AS BIGINT) AS end_turn_idx,
+           CAST(ts_us AS BIGINT) AS start_ts_us, CAST(ts2 AS BIGINT) AS end_ts_us,
+           tool1 AS tool
+    FROM s WHERE role = 'user' AND role1 = 'tool' AND role2 = 'user'
+      AND ti2 = turn_idx + 2 AND ts2 - ts_us BETWEEN 0 AND 600000000"""
+
+# the user→tool→user pattern: a user request answered by a tool invocation
+# then handed back to the user, all within 10 minutes — emits the tool name
+# of the middle step
+_CEP_STEPS = [{"role": "user"}, {"role": "tool"}, {"role": "user"}]
+_CEP_EMIT = ((1, "tool", "tool"),)
+_CEP_WITHIN_US = 600_000_000
+
+
+@q("cep_pattern_turns", _CEP_SQL)
+def cep_pattern_turns(sf_dir):
+    """Batch CEP sequence matching (MATCH_RECOGNIZE-lite): every consecutive
+    user→tool→user turn triple per conversation within 10 minutes. Step
+    bitmasks + column pruning before the single conv_id exchange; one
+    vectorized shifted-AND scan per bucket (stages/cep.py)."""
+    from pipeflow_ray.stages.cep import match_pattern, pattern_columns
+
+    ds = ray.data.read_parquet(
+        _tp(sf_dir), columns=pattern_columns(_CEP_STEPS, _CEP_EMIT)
+    )
+    return match_pattern(ds, _CEP_STEPS, within_us=_CEP_WITHIN_US, emit=_CEP_EMIT)
+
+
+@q("streaming_cep_pattern", _CEP_SQL)
+def streaming_cep_pattern(sf_dir):
+    """STREAMING CEP: the same pattern matched by the parallel-replay runtime
+    (partial-match tails in bucket actors, exactly-once emission when the
+    global min-watermark seals a match's last row). With lateness covering
+    the fixture's injected 2h disorder the emissions equal the batch scan,
+    which is what the shared SQL oracle states."""
+    from pipeflow_ray.pipelines.streaming import ParallelCepRunner
+
+    runner = ParallelCepRunner(
+        _CEP_STEPS, within_us=_CEP_WITHIN_US, emit=_CEP_EMIT,
+        lateness_s=3 * 3600.0, num_buckets=8,
+    )
+    matches, _metrics = runner.run(_tp(sf_dir))
+    return matches
+
+
 # ---------------------------------------------------------------------------
 # training-data ops (documents / embeddings)
 # ---------------------------------------------------------------------------

@@ -644,6 +644,7 @@ _MODE_COLUMNS = {
     "tumbling": None,  # [key_col, text, ts] — resolved per params
     "sliding": None,
     "join": ["conv_id", "turn_idx", "role", "text", "ts"],
+    "cep": None,  # pattern-dependent — resolved per params["columns"]
 }
 
 
@@ -683,7 +684,11 @@ class ShardReplayer:
         self._pending: list = []  # in-flight bucket process() futures
 
     def _batches(self):
-        cols = _MODE_COLUMNS[self.mode] or [self.params["key_col"], "text", "ts"]
+        cols = (
+            self.params.get("columns")
+            or _MODE_COLUMNS[self.mode]
+            or [self.params["key_col"], "text", "ts"]
+        )
         for fp in self.files:
             yield from pq.ParquetFile(fp).iter_batches(
                 batch_size=self.micro_batch_rows, columns=cols
@@ -748,6 +753,29 @@ class ShardReplayer:
             ray.get(self.wm.advance.remote(
                 self.shard_id, int(df.ts_us.max()) - self.lateness_us))
             self._route(df, "conv_id")
+            return
+
+        if self.mode == "cep":
+            from pipeflow_ray.stages.cep import _NEG_INF, _prep_frame
+
+            p = self.params
+            pdf = pa.Table.from_batches([rb]).to_pandas()
+            emit_srcs = sorted({src for _o, src, _n in p["emit"]})
+            df = _prep_frame(pdf, p["steps"], p["key"], p["order"], p["ts_col"], emit_srcs)
+            nulls = df.ts_us == _NEG_INF  # null event time (sentinel)
+            if nulls.any():
+                self.null_ts_rows += int(nulls.sum())
+                df = df[~nulls]
+            if not len(df):
+                return
+            prev_g, _g = ray.get(self.wm.observe_and_advance.remote(
+                self.shard_id, int(df.ts_us.max()) - self.lateness_us))
+            late = df.ts_us < prev_g
+            if late.any():
+                self.late_rows += int(late.sum())
+                df = df[~late]
+            if len(df):
+                self._route(df, p["key"])
             return
 
         t = pa.Table.from_batches([rb])
@@ -1021,6 +1049,141 @@ class ParallelJoinRunner(_ParallelReplayBase):
         metrics["pairs"] = int(len(pairs))
         metrics["open_state"] = open_state
         return pairs, metrics
+
+
+@ray.remote(num_cpus=0.25)
+class CepBucketActor:
+    """Partial-match CEP state for one hash bucket of conversations (the
+    streaming half of :mod:`pipeflow_ray.stages.cep`).
+
+    State: the per-key row tail still able to participate in a future match
+    — unsealed rows (event time ≥ watermark) plus the trailing k−1 sealed
+    rows of each key. Exactly-once emission: a match is emitted at the
+    barrier eviction where its LAST row's event time first falls below the
+    global watermark (each last row seals exactly once, so
+    ``prev_wm ≤ end_ts < wm`` fires exactly once per match).
+
+    Correctness relies on per-key event time non-decreasing in the order
+    column (stages.cep docstring): sealed rows then form a per-key prefix,
+    the trailing k−1 sealed rows are the only sealed rows reachable by a
+    future match, and a sealed match can never be invalidated — any
+    not-yet-arrived row BETWEEN sealed rows would itself be late and is
+    dropped at the replayer.
+    """
+
+    def __init__(self, k: int, within_us: int | None, emit=(),
+                 key: str = "conv_id", order: str = "turn_idx"):
+        self.k = k
+        self.within_us = within_us
+        self.emit = tuple(emit)
+        self.key = key
+        self.order = order
+        self.parts: list[pd.DataFrame] = []  # routed, not yet scanned
+        self.carry: pd.DataFrame | None = None  # scan tail (see class doc)
+        self.prev_wm = -(1 << 62)
+        self.buf: list[pd.DataFrame] = []  # emitted matches, drained at flush
+
+    def process(self, df: pd.DataFrame, watermark_us: int) -> None:
+        # watermark ignored: parallel replay scans/evicts only at epoch
+        # barriers (see SessionBucketActor.evict for the race this avoids)
+        if len(df):
+            self.parts.append(df)
+
+    def evict(self, watermark_us: int) -> None:
+        from pipeflow_ray.stages.cep import scan_matches
+
+        frames = self.parts
+        if self.carry is not None and len(self.carry):
+            frames = [self.carry, *frames]
+        self.parts = []
+        if not frames:
+            self.prev_wm = max(self.prev_wm, watermark_us)
+            return
+        df = pd.concat(frames, ignore_index=True)
+        df = df.sort_values([self.key, self.order], kind="mergesort").reset_index(drop=True)
+        matches = scan_matches(df, self.k, self.within_us, self.emit,
+                               key=self.key, order=self.order, assume_sorted=True)
+        newly = matches[(matches.end_ts_us.to_numpy() < watermark_us)
+                        & (matches.end_ts_us.to_numpy() >= self.prev_wm)]
+        if len(newly):
+            self.buf.append(newly)
+        # retention: unsealed rows + the trailing k−1 sealed rows per key
+        n = len(df)
+        ts = df["ts_us"].to_numpy(np.int64)
+        sealed = ts < watermark_us
+        conv = pd.factorize(df[self.key], sort=False)[0]
+        first = np.zeros(n, dtype=bool)
+        if n:
+            first[0] = True
+            first[1:] = conv[1:] != conv[:-1]
+        start_of = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+        pos = np.arange(n) - start_of
+        sealed_cnt = np.bincount(conv, weights=sealed, minlength=int(conv.max()) + 1 if n else 0)
+        keep = (~sealed) | (pos >= sealed_cnt[conv].astype(np.int64) - (self.k - 1))
+        self.carry = df[keep].reset_index(drop=True)
+        self.prev_wm = max(self.prev_wm, watermark_us)
+
+    def flush(self) -> pd.DataFrame:
+        from pipeflow_ray.stages.cep import empty_matches
+
+        self.evict(1 << 62)
+        parts = self.buf
+        self.buf = []
+        self.carry = None
+        if parts:
+            return pd.concat(parts, ignore_index=True)
+        return empty_matches(self.key, self.emit)
+
+    def state_size(self) -> int:
+        n = 0 if self.carry is None else len(self.carry)
+        return n + sum(len(p) for p in self.parts)
+
+
+class ParallelCepRunner(_ParallelReplayBase):
+    """Parallel-replay CEP pattern matching: the streaming form of
+    :func:`pipeflow_ray.stages.cep.match_pattern`. Step bitmasks are
+    computed inside the replayer actors (text never routed), partial-match
+    tails live in the bucket actors, and emission follows the global
+    min-watermark sealing rule. With lateness ≥ total disorder the emitted
+    matches equal the batch scan on the same rows (tested)."""
+
+    mode = "cep"
+
+    def __init__(self, steps, within_us: int | None = None, emit=(),
+                 lateness_s: float = 3600.0, num_buckets: int = 8,
+                 max_replayers: int = 16, epoch_batches: int = 64,
+                 key: str = "conv_id", order: str = "turn_idx",
+                 ts_col: str = "ts"):
+        from pipeflow_ray.stages.cep import pattern_columns
+
+        super().__init__(lateness_s, num_buckets, max_replayers, epoch_batches)
+        self.steps = list(steps)
+        self.within_us = within_us
+        self.emit = tuple(emit)
+        self.key = key
+        self.order = order
+        self.ts_col = ts_col
+        self.columns = pattern_columns(steps, self.emit, key, order, ts_col)
+
+    def _params(self) -> dict:
+        return {"steps": self.steps, "within_us": self.within_us,
+                "emit": self.emit, "key": self.key, "order": self.order,
+                "ts_col": self.ts_col, "columns": self.columns}
+
+    def _make_bucket_actor(self):
+        return CepBucketActor.remote(len(self.steps), self.within_us,
+                                     self.emit, key=self.key, order=self.order)
+
+    def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
+        from pipeflow_ray.stages.cep import empty_matches
+
+        actors, results, n_files = self._replay_all(parquet_path, micro_batch_rows)
+        out = [f for f in ray.get([self._collect(a) for a in actors]) if len(f)]
+        matches = (pd.concat(out, ignore_index=True) if out
+                   else empty_matches(self.key, self.emit))
+        metrics = self._metrics(results, n_files)
+        metrics["matches"] = int(len(matches))
+        return matches, metrics
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,221 @@
+"""CEP sequence-pattern matching (MATCH_RECOGNIZE-lite) over keyed,
+ordered event streams — the "CEP" half of the north rule's
+structured-streaming/CEP runtime.
+
+A *pattern* is a list of per-step predicates that must match ``k``
+CONSECUTIVE rows of one key (``conv_id``) under the stream's order column
+(``turn_idx``), optionally with the whole match inside an event-time span
+(``within_us``). Matches may overlap (each start position is tested
+independently — the same semantics as SQL's ``lead()``-chain formulation,
+which is what the DuckDB oracle states). One output row per match:
+``(key, start_turn_idx, end_turn_idx, start_ts_us, end_ts_us, *emitted)``
+where *emitted* columns are copied from a chosen step's row (e.g. the tool
+name of the middle step).
+
+The reference has no CEP operator (its closest surface is row-wise
+``Filter``/``Transform`` chains, ``PipeFlow/Pipeline.cs:25-102``); this is
+part of the engine's beyond-reference streaming surface.
+
+Execution shape (100-TB discipline):
+- a PREP ``map_batches`` stage computes a per-row uint32 *step-bitmask*
+  (bit j = row satisfies step j) and prunes to the 4+len(emit) shuffle
+  columns — text never travels through the exchange (same ~25× shuffle
+  reduction as the turn join);
+- one ``hash_exchange`` on the key co-locates each conversation;
+- a per-bucket vectorized scan (single mergesort + k shifted bitwise ANDs)
+  finds every match — no per-key Python, no driver work.
+
+Assumption (documented, standard for CEP on transcript logs): event time is
+non-decreasing in the order column within a key. The batch path does not
+need it; the STREAMING path (``pipelines.streaming.CepBucketActor``) relies
+on it for exactly-once emission at watermark barriers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pandas as pd
+
+from pipeflow_ray.stages.core import grouped_by_bucket
+
+MAX_STEPS = 32  # step bitmask is a uint32
+
+_NEG_INF = -(1 << 62)
+
+
+def _step_mask(df: pd.DataFrame, step) -> np.ndarray:
+    """One step's boolean row mask. *step* is either a dict of
+    ``column → value`` (scalar equality) / ``column → [values]``
+    (membership), AND-ed across columns, or a callable
+    ``DataFrame → bool ndarray`` for arbitrary predicates."""
+    if callable(step):
+        return np.asarray(step(df), dtype=bool)
+    m = np.ones(len(df), dtype=bool)
+    for col, v in step.items():
+        s = df[col]
+        if isinstance(v, (list, tuple, set, frozenset, np.ndarray)):
+            m &= s.isin(list(v)).to_numpy()
+        else:
+            m &= (s == v).to_numpy()
+    return m
+
+
+def compute_step_bits(df: pd.DataFrame, steps) -> np.ndarray:
+    """uint32 per-row bitmask: bit j set ⟺ row satisfies ``steps[j]``.
+    Computed once per micro-batch/block — the only predicate evaluation in
+    the whole operator; everything downstream is integer shifts."""
+    if len(steps) > MAX_STEPS:
+        raise ValueError(f"at most {MAX_STEPS} pattern steps (got {len(steps)})")
+    if len(steps) < 1:
+        raise ValueError("pattern needs at least one step")
+    bits = np.zeros(len(df), dtype=np.uint32)
+    for j, s in enumerate(steps):
+        bits |= _step_mask(df, s).astype(np.uint32) << np.uint32(j)
+    return bits
+
+
+def match_columns(key: str, emit=()) -> list[str]:
+    """Output schema of the match scan (shared by batch + streaming)."""
+    return [key, "start_turn_idx", "end_turn_idx", "start_ts_us", "end_ts_us"] + [
+        name for _off, _src, name in emit
+    ]
+
+
+def empty_matches(key: str, emit=()) -> pd.DataFrame:
+    cols = match_columns(key, emit)
+    out = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+    out[key] = out[key].astype(object)
+    for _off, _src, name in emit:
+        out[name] = out[name].astype(object)
+    return out
+
+
+def scan_matches(
+    df: pd.DataFrame,
+    k: int,
+    within_us: int | None,
+    emit=(),
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    assume_sorted: bool = False,
+) -> pd.DataFrame:
+    """Vectorized consecutive-sequence scan over one co-located bucket.
+
+    *df* needs columns ``key, order, ts_us, __bits`` plus any emit source
+    columns; rows of a key must be unique per *order* value. One stable sort
+    + k shifted bitwise ANDs; candidate start ``i`` is a match iff rows
+    ``i..i+k-1`` are the same key, have consecutive *order* values, step j's
+    bit is set on row ``i+j``, and (optionally) the event-time span is
+    within *within_us*.
+    """
+    emit = tuple(emit)
+    if len(df) < k:
+        return empty_matches(key, emit)
+    if not assume_sorted:
+        df = df.sort_values([key, order], kind="mergesort").reset_index(drop=True)
+    n = len(df)
+    m = n - k + 1
+    conv = pd.factorize(df[key], sort=False)[0]
+    ti = df[order].to_numpy(dtype=np.int64)
+    ts = df["ts_us"].to_numpy(dtype=np.int64)
+    bits = df["__bits"].to_numpy(dtype=np.uint32)
+    valid = (bits[:m] & np.uint32(1)).astype(bool)
+    for j in range(1, k):
+        valid &= (bits[j : m + j] & np.uint32(1 << j)).astype(bool)
+    valid &= conv[k - 1 :] == conv[:m]
+    valid &= (ti[k - 1 :] - ti[:m]) == (k - 1)
+    if within_us is not None:
+        span = ts[k - 1 :] - ts[:m]
+        # span ≥ 0 also rejects null-ts sentinels inside the match (a −inf
+        # END makes the span negative; a −inf START makes it overflow-huge)
+        valid &= (span <= within_us) & (span >= 0)
+    idx = np.nonzero(valid)[0]
+    out = pd.DataFrame(
+        {
+            key: df[key].to_numpy()[idx],
+            "start_turn_idx": ti[idx],
+            "end_turn_idx": ti[idx] + (k - 1),
+            "start_ts_us": ts[idx],
+            "end_ts_us": ts[idx + k - 1],
+        }
+    )
+    for off, src, name in emit:
+        out[name] = df[src].to_numpy()[idx + off]
+    return out
+
+
+def _ts_us_array(col: pd.Series) -> np.ndarray:
+    """int64 epoch micros from a timestamp or integer column (null → the
+    −inf sentinel so the caller can drop/route them explicitly)."""
+    if np.issubdtype(col.dtype, np.integer):
+        return col.to_numpy(dtype=np.int64)
+    a = col.to_numpy(dtype="datetime64[us]")
+    out = a.view(np.int64).copy()
+    out[np.isnat(a)] = _NEG_INF
+    return out
+
+
+def _prep_frame(
+    df: pd.DataFrame, steps, key: str, order: str, ts_col: str, emit_srcs
+) -> pd.DataFrame:
+    """Shuffle-side row prep shared by batch prep and the streaming
+    replayers: step bits + int64 event time, pruned to the scan columns."""
+    out = pd.DataFrame({key: df[key], order: df[order].astype(np.int64)})
+    out["ts_us"] = _ts_us_array(df[ts_col])
+    out["__bits"] = compute_step_bits(df, steps)
+    for src in emit_srcs:
+        out[src] = df[src]
+    return out
+
+
+def _bucket_scan(df, k, within_us, emit, key, order):
+    return scan_matches(df, k, within_us, emit, key=key, order=order)
+
+
+def pattern_columns(steps, emit=(), key="conv_id", order="turn_idx", ts_col="ts"):
+    """Input columns the pattern needs — pass to ``read_parquet(columns=…)``
+    so the read itself prunes."""
+    need = {key, order, ts_col}
+    for s in steps:
+        if not callable(s):
+            need |= set(s.keys())
+    need |= {src for _off, src, _name in emit}
+    return sorted(need)
+
+
+def match_pattern(
+    ds,
+    steps,
+    within_us: int | None = None,
+    emit=(),
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    ts_col: str = "ts",
+    num_buckets: int | None = None,
+):
+    """Batch CEP: find every consecutive *steps* sequence per *key*.
+
+    *emit* is a tuple of ``(step_offset, source_col, out_name)`` — copy
+    ``source_col`` from the row matching step ``step_offset`` into the
+    output as ``out_name`` (e.g. ``(1, "tool", "tool")`` = the tool name of
+    the middle step). Null event times flow through with a −inf sentinel:
+    they can only match when *within_us* is None (span of −inf fails the
+    bound), mirroring the batch window path's explicit-null policy.
+
+    Returns a Dataset of match rows (see :func:`match_columns`).
+    """
+    k = len(steps)
+    emit = tuple(emit)
+    emit_srcs = sorted({src for _off, src, _name in emit})
+    prep = functools.partial(
+        _prep_frame, steps=steps, key=key, order=order, ts_col=ts_col, emit_srcs=emit_srcs
+    )
+    pruned = ds.map_batches(prep, batch_format="pandas")
+    kernel = functools.partial(
+        _bucket_scan, k=k, within_us=within_us, emit=emit, key=key, order=order
+    )
+    return grouped_by_bucket(
+        pruned, [key], kernel, num_buckets=num_buckets, batch_format="pandas"
+    )
