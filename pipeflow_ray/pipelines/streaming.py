@@ -756,12 +756,12 @@ class ShardReplayer:
             return
 
         if self.mode == "cep":
-            from pipeflow_ray.stages.cep import _NEG_INF, _prep_frame
+            from pipeflow_ray.stages.cep import _NEG_INF, _prep_table
 
             p = self.params
-            pdf = pa.Table.from_batches([rb]).to_pandas()
             emit_srcs = sorted({src for _o, src, _n in p["emit"]})
-            df = _prep_frame(pdf, p["steps"], p["key"], p["order"], p["ts_col"], emit_srcs)
+            df = _prep_table(pa.Table.from_batches([rb]), p["steps"], p["key"],
+                             p["order"], p["ts_col"], emit_srcs).to_pandas()
             nulls = df.ts_us == _NEG_INF  # null event time (sentinel)
             if nulls.any():
                 self.null_ts_rows += int(nulls.sum())

@@ -37,6 +37,8 @@ import functools
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from pipeflow_ray.stages.core import grouped_by_bucket
 
@@ -157,17 +159,71 @@ def _ts_us_array(col: pd.Series) -> np.ndarray:
     return out
 
 
-def _prep_frame(
-    df: pd.DataFrame, steps, key: str, order: str, ts_col: str, emit_srcs
-) -> pd.DataFrame:
-    """Shuffle-side row prep shared by batch prep and the streaming
-    replayers: step bits + int64 event time, pruned to the scan columns."""
-    out = pd.DataFrame({key: df[key], order: df[order].astype(np.int64)})
-    out["ts_us"] = _ts_us_array(df[ts_col])
-    out["__bits"] = compute_step_bits(df, steps)
+def _step_mask_table(t: pa.Table, step) -> np.ndarray:
+    """Arrow-kernel variant of :func:`_step_mask` — per-byte compiled
+    comparisons instead of object-dtype Python equality (~10× on string
+    columns; the hot path for both batch prep and the streaming replayers).
+    Callable steps still receive a pandas DataFrame (one contract)."""
+    if callable(step):
+        return np.asarray(step(t.to_pandas()), dtype=bool)
+    m = np.ones(t.num_rows, dtype=bool)
+    for col, v in step.items():
+        c = t[col]
+        if isinstance(v, (list, tuple, set, frozenset, np.ndarray)):
+            mm = pc.is_in(c, value_set=pa.array(list(v)))
+        else:
+            mm = pc.equal(c, v)
+        m &= pc.fill_null(mm, False).to_numpy(zero_copy_only=False)
+    return m
+
+
+def _step_key(step):
+    """Hashable identity for a dict step (duplicate-step mask memoization:
+    patterns like user→tool→user evaluate the repeated predicate once)."""
+    if callable(step):
+        return None
+    return tuple(
+        (c, tuple(v) if isinstance(v, (list, tuple, set, frozenset, np.ndarray)) else v)
+        for c, v in sorted(step.items())
+    )
+
+
+def compute_step_bits_table(t: pa.Table, steps) -> np.ndarray:
+    """uint32 per-row step bitmask over an Arrow table (see
+    :func:`compute_step_bits`)."""
+    if len(steps) > MAX_STEPS:
+        raise ValueError(f"at most {MAX_STEPS} pattern steps (got {len(steps)})")
+    if len(steps) < 1:
+        raise ValueError("pattern needs at least one step")
+    bits = np.zeros(t.num_rows, dtype=np.uint32)
+    seen: dict = {}
+    for j, s in enumerate(steps):
+        kk = _step_key(s)
+        m = seen.get(kk) if kk is not None else None
+        if m is None:
+            m = _step_mask_table(t, s).astype(np.uint32)
+            if kk is not None:
+                seen[kk] = m
+        bits |= m << np.uint32(j)
+    return bits
+
+
+def _prep_table(
+    t: pa.Table, steps, key: str, order: str, ts_col: str, emit_srcs
+) -> pa.Table:
+    """Shuffle-side row prep shared by the batch path and the streaming
+    replayers: step bits + int64 event time, pruned to the scan columns.
+    All Arrow kernels — no object-dtype comparisons on the hot path."""
+    ts = pc.fill_null(t[ts_col].cast(pa.int64()), _NEG_INF)
+    cols = {
+        key: t[key],
+        order: t[order].cast(pa.int64()),
+        "ts_us": ts,
+        "__bits": pa.array(compute_step_bits_table(t, steps), type=pa.uint32()),
+    }
     for src in emit_srcs:
-        out[src] = df[src]
-    return out
+        cols[src] = t[src]
+    return pa.table(cols)
 
 
 def _bucket_scan(df, k, within_us, emit, key, order):
@@ -210,9 +266,9 @@ def match_pattern(
     emit = tuple(emit)
     emit_srcs = sorted({src for _off, src, _name in emit})
     prep = functools.partial(
-        _prep_frame, steps=steps, key=key, order=order, ts_col=ts_col, emit_srcs=emit_srcs
+        _prep_table, steps=steps, key=key, order=order, ts_col=ts_col, emit_srcs=emit_srcs
     )
-    pruned = ds.map_batches(prep, batch_format="pandas")
+    pruned = ds.map_batches(prep, batch_format="pyarrow")
     kernel = functools.partial(
         _bucket_scan, k=k, within_us=within_us, emit=emit, key=key, order=order
     )
