@@ -293,3 +293,40 @@ def test_neardup_clusters_components():
     eout = neardup_clusters(ray.data.from_arrow(empty))
     assert eout.count() == 0
     assert [f.name for f in eout.schema().base_schema] == ["doc_id", "cluster_id"]
+
+
+def test_repetition_stats_vs_brute_force():
+    """Exact token-bigram/trigram repetition counts vs a per-doc reference
+    (collections.Counter over literal space-split tokens)."""
+    import collections
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from pipeflow_ray.functions.text import repetition_stats
+
+    rng = np.random.default_rng(7)
+    vocab = ["a", "b", "c", "dd", "ee"]
+    texts = ["a b a b a b", "x", "", "a a a a", None, "q w e r t y"] + [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 40)))
+        for _ in range(60)
+    ]
+    t = pa.Table.from_pandas(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    got = repetition_stats()(t).to_pandas()
+
+    for i, text in enumerate(texts):
+        toks = (text or "").split(" ")
+        n = len(toks)
+        bigrams = collections.Counter(zip(toks, toks[1:]))
+        tris = list(zip(toks, toks[1:], toks[2:]))
+        row = got.iloc[i]
+        assert row.n_tokens == n
+        assert row.top_bigram_n == (max(bigrams.values()) if bigrams else 0)
+        assert row.n_trigrams == len(tris)
+        assert row.distinct_trigrams == len(set(tris))
+        exp_top2 = int(np.floor(1e6 * 2 * row.top_bigram_n / n)) if n >= 2 else 0
+        exp_dup3 = (
+            int(np.floor(1e6 * (len(tris) - len(set(tris))) / len(tris))) if tris else 0
+        )
+        assert row.top2_micro == exp_top2 and row.dup3_micro == exp_dup3
