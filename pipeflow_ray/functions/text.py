@@ -279,3 +279,39 @@ def repetition_stats(text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return _apply
+
+
+# PII patterns — RE2 syntax, deliberately: Arrow's regex kernels and DuckDB's
+# regexp_* are BOTH RE2, so the redaction oracle is bit-identical by
+# construction (no python-re vs RE2 semantic drift).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_redact(text_col: str = "text", out: str = "text_redacted"):
+    """PII detection + redaction (training-data scrubbing): count and replace
+    emails, IPv4 addresses and NNN-NNN-NNNN phone numbers with typed tokens.
+
+    Fixed order (email → ip → phone, each counted before the previous
+    replacement could alter it) so the composition is deterministic. Pure
+    Arrow RE2 kernels — one count + one replace per category per batch;
+    stateless, safe for the warm task pool.
+
+    Appends ``n_emails, n_ips, n_phones`` (int64) and the redacted text.
+    """
+
+    def _apply(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t[text_col], "")
+        n_em = pc.count_substring_regex(text, PII_EMAIL_RE).cast(pa.int64())
+        red = pc.replace_substring_regex(text, PII_EMAIL_RE, "<EMAIL>")
+        n_ip = pc.count_substring_regex(red, PII_IP_RE).cast(pa.int64())
+        red = pc.replace_substring_regex(red, PII_IP_RE, "<IP>")
+        n_ph = pc.count_substring_regex(red, PII_PHONE_RE).cast(pa.int64())
+        red = pc.replace_substring_regex(red, PII_PHONE_RE, "<PHONE>")
+        t = t.append_column("n_emails", n_em)
+        t = t.append_column("n_ips", n_ip)
+        t = t.append_column("n_phones", n_ph)
+        return t.append_column(out, red)
+
+    return _apply

@@ -915,6 +915,62 @@ SELECT nt.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM nt LEFT JOIN bgc USING (doc_id) LEFT JOIN trs USING (doc_id)"""
 
 
+_PII_AUG_SQL = """coalesce(text, '')
+ || CASE WHEN doc_id % 3 = 0 THEN ' u' || CAST(doc_id AS VARCHAR) || '@ex'
+         || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+ || CASE WHEN doc_id % 4 = 1 THEN ' 10.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+ || CASE WHEN doc_id % 5 = 2 THEN ' 555-010-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"""
+
+_PII_SQL = (
+    """
+WITH aug AS (SELECT doc_id, """ + _PII_AUG_SQL + """ AS txt FROM documents),
+a AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS r1
+      FROM aug),
+b AS (SELECT doc_id, n_emails,
+             CAST(len(regexp_extract_all(r1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+             regexp_replace(r1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS r2
+      FROM a)
+SELECT doc_id, n_emails, n_ips,
+       CAST(len(regexp_extract_all(r2, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phones,
+       regexp_replace(r2, '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS text_redacted
+FROM b"""
+)
+
+
+@q("pii_redact_docs", _PII_SQL)
+def pii_redact_docs(sf_dir):
+    """PII scrub over a deterministically PII-augmented corpus (the fixture
+    corpus has no PII, so the query plants emails/IPs/phones as a pure
+    function of doc_id — identically in the SQL oracle — making the gate
+    non-vacuous). Detection/redaction itself is `functions.text.pii_redact`:
+    Arrow RE2 kernels, the same regex engine DuckDB uses, so the redacted
+    text is bit-identical by construction."""
+    from pipeflow_ray.functions.text import pii_redact
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _augment(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df.doc_id.astype("int64")
+        s = ids.astype(str)
+        email = (" u" + s + "@ex" + (ids % 7).astype(str) + ".com").where(ids % 3 == 0, "")
+        ip = (" 10." + (ids % 256).astype(str) + ".0." + (ids % 100).astype(str)).where(
+            ids % 4 == 1, ""
+        )
+        phone = (" 555-010-" + (ids % 10000).astype(str).str.zfill(4)).where(ids % 5 == 2, "")
+        return pd.DataFrame(
+            {"doc_id": df.doc_id, "text": df.text.fillna("") + email + ip + phone}
+        )
+
+    aug = docs.map_batches(_augment, batch_format="pandas")
+    return aug.map_batches(pii_redact(), batch_format="pyarrow").select_columns(
+        ["doc_id", "n_emails", "n_ips", "n_phones", "text_redacted"]
+    )
+
+
 @q("repetition_docs", _REPETITION_SQL)
 def repetition_docs(sf_dir):
     """Gopher-family repetition quality signals (top-bigram multiplicity,

@@ -330,3 +330,28 @@ def test_repetition_stats_vs_brute_force():
             int(np.floor(1e6 * (len(tris) - len(set(tris))) / len(tris))) if tris else 0
         )
         assert row.top2_micro == exp_top2 and row.dup3_micro == exp_dup3
+
+
+def test_pii_redact_counts_and_tokens():
+    import pandas as pd
+    import pyarrow as pa
+
+    from pipeflow_ray.functions.text import pii_redact
+
+    t = pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "mail alice.smith+x@corp.example.org now",
+            "call 555-010-1234 or visit 10.0.0.1",
+            None,
+            "plain tokens only 3.14",
+        ],
+    }))
+    out = pii_redact()(t).to_pandas()
+    assert out.n_emails.tolist() == [1, 0, 0, 0]
+    assert out.n_phones.tolist() == [0, 1, 0, 0]
+    assert out.n_ips.tolist() == [0, 1, 0, 0]
+    assert out.text_redacted[0] == "mail <EMAIL> now"
+    assert out.text_redacted[1] == "call <PHONE> or visit <IP>"
+    assert out.text_redacted[2] == ""
+    assert out.text_redacted[3] == "plain tokens only 3.14"
