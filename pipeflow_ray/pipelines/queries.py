@@ -637,6 +637,33 @@ def streaming_sessions(sf_dir):
     return out
 
 
+@q(
+    "quantiles_lineitem",
+    """SELECT l_returnflag,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.25) AS BIGINT) AS p25,
+              CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.50) AS BIGINT) AS p50,
+              CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.75) AS BIGINT) AS p75
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def quantiles_lineitem(sf_dir):
+    """Distributed EXACT grouped quantiles (percentile_disc semantics) via
+    per-batch value-histogram combiners — shuffle carries O(keys × distinct
+    values) partials, never rows (stages/window.grouped_quantiles)."""
+    from pipeflow_ray.stages.window import grouped_quantiles
+
+    ds = _lineitem(sf_dir, ["l_returnflag", "l_quantity"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_returnflag": t["l_returnflag"], "qty": t["l_quantity"].cast(pa.int64())}
+        )
+
+    ds = ds.map_batches(_prep, batch_format="pyarrow")
+    # output columns: l_returnflag, n, p25, p50, p75 — named as in the SQL
+    return grouped_quantiles(ds, ["l_returnflag"], "qty", qs=(0.25, 0.5, 0.75))
+
+
 _CEP_SQL = f"""WITH s AS (
       SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS ts_us,
              lead(role, 1) OVER w AS role1, lead(role, 2) OVER w AS role2,

@@ -108,3 +108,35 @@ def test_watermark_split():
     on_time, late = split_late(ds, wm)
     assert on_time.count() + late.count() == 10
     assert late.count() == t.to_pandas().ts.lt(wm).sum()
+
+
+def test_grouped_quantiles_match_duckdb_quantile_disc():
+    """Distributed histogram quantiles must reproduce DuckDB quantile_disc
+    exactly (percentile_disc index rule), across skewed group sizes,
+    singleton groups and duplicate-heavy values."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pipeflow_ray.stages.window import grouped_quantiles
+
+    rng = np.random.default_rng(11)
+    sizes = {"a": 1, "b": 2, "c": 7, "d": 500, "e": 33}
+    frames = [
+        pd.DataFrame({"k": k, "v": rng.integers(0, 12, size=n).astype(np.int64)})
+        for k, n in sizes.items()
+    ]
+    df = pd.concat(frames, ignore_index=True).sample(frac=1.0, random_state=3)
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = (
+        grouped_quantiles(ds, ["k"], "v", qs=(0.25, 0.5, 0.75))
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    ref = duckdb.query_df(df, "t", """
+        SELECT k, CAST(count(*) AS BIGINT) AS n,
+               CAST(quantile_disc(v, 0.25) AS BIGINT) AS p25,
+               CAST(quantile_disc(v, 0.50) AS BIGINT) AS p50,
+               CAST(quantile_disc(v, 0.75) AS BIGINT) AS p75
+        FROM t GROUP BY k ORDER BY k""").df()
+    pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
