@@ -1138,6 +1138,35 @@ class CepBucketActor:
         n = 0 if self.carry is None else len(self.carry)
         return n + sum(len(p) for p in self.parts)
 
+    # --- checkpoint support (ParallelCheckpointingCepRunner) ---
+
+    def drain(self) -> pd.DataFrame:
+        """Hand over buffered emitted matches WITHOUT touching the
+        partial-match tail — the emission half of a checkpoint barrier."""
+        from pipeflow_ray.stages.cep import empty_matches
+
+        parts = self.buf
+        self.buf = []
+        if parts:
+            return pd.concat(parts, ignore_index=True)
+        return empty_matches(self.key, self.emit)
+
+    def dump_state(self) -> pd.DataFrame:
+        """Snapshot the partial-match row tail (checkpoint state half).
+        ``prev_wm`` needs no persistence: the retained tail holds at most
+        k−1 sealed rows per key, so no match found after resume can end
+        before the checkpointed watermark — re-emission is structurally
+        impossible even with prev_wm reset to −inf."""
+        if self.carry is not None and len(self.carry):
+            return self.carry
+        base = pd.DataFrame({c: [] for c in (self.key, self.order, "ts_us", "__bits")})
+        base["ts_us"] = base["ts_us"].astype(np.int64)
+        base["__bits"] = base["__bits"].astype(np.uint32)
+        return base
+
+    def load_state(self, df: pd.DataFrame) -> None:
+        self.carry = df.reset_index(drop=True)
+
 
 class ParallelCepRunner(_ParallelReplayBase):
     """Parallel-replay CEP pattern matching: the streaming form of
@@ -1731,8 +1760,9 @@ class _ParallelCheckpointMixin:
             ray.get(wm.load.remote(ck["marks"]))
             state_df = pd.read_parquet(os.path.join(ck_dir, ck["state_file"]))
             if len(state_df):
+                state_key = getattr(self, "key", "conv_id")  # cep runners re-key
                 bucket = (
-                    pd.util.hash_array(state_df.conv_id.to_numpy(dtype=object))
+                    pd.util.hash_array(state_df[state_key].to_numpy(dtype=object))
                     % self.num_buckets
                 )
                 ray.get([
@@ -1867,6 +1897,35 @@ class ParallelCheckpointingJoinRunner(_ParallelCheckpointMixin, ParallelJoinRunn
 
     def _final_handle(self, actor):
         return actor.drain.remote()  # pairs have no open-state flush semantics
+
+    def run(self, parquet_path: str, out_dir: str, micro_batch_rows: int = 65_536,
+            checkpoint_every: int = 10, stop_after_epochs: int | None = None):
+        return self._run_checkpointed(parquet_path, out_dir, micro_batch_rows,
+                                      checkpoint_every, stop_after_epochs)
+
+
+class ParallelCheckpointingCepRunner(_ParallelCheckpointMixin, ParallelCepRunner):
+    """Distributed-ingest streaming CEP with epoch-aligned checkpoints and
+    exactly-once committed match output — the CEP form of
+    :class:`ParallelCheckpointingSessionRunner`. State snapshot = the
+    partial-match row tails (at most k−1 sealed rows + unsealed rows per
+    key), re-routed to bucket actors on resume by the same key hash.
+
+    Emit columns default to ``pa.string()`` in the committed schema; pass
+    ``emit_types={name: pa.DataType}`` for non-string emissions."""
+
+    _kind = "cep-checkpoint"
+
+    def __init__(self, *args, emit_types: dict | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        fields = [
+            (self.key, pa.string()),
+            ("start_turn_idx", pa.int64()), ("end_turn_idx", pa.int64()),
+            ("start_ts_us", pa.int64()), ("end_ts_us", pa.int64()),
+        ]
+        for _off, _src, name in self.emit:
+            fields.append((name, (emit_types or {}).get(name, pa.string())))
+        self._emit_schema = pa.schema(fields)
 
     def run(self, parquet_path: str, out_dir: str, micro_batch_rows: int = 65_536,
             checkpoint_every: int = 10, stop_after_epochs: int | None = None):

@@ -180,3 +180,59 @@ def test_parallel_cep_tiny_lateness_drops_late(tmp_path):
     assert metrics["late_rows"] > 0
     assert metrics["rows"] == t.num_rows
     assert not got.duplicated(["conv_id", "start_turn_idx"]).any()
+
+
+def test_parallel_checkpoint_cep_crash_resume(tmp_path):
+    """Kill the checkpointing CEP job mid-stream, resume: committed matches ≡
+    uninterrupted run ≡ the plain parallel runner — and a completed job's
+    re-run is a no-op."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from pipeflow_ray.fixtures import gen_transcripts
+    from pipeflow_ray.pipelines.streaming import (
+        ParallelCepRunner,
+        ParallelCheckpointingCepRunner,
+    )
+    from pipeflow_ray.state.manifest import read_committed
+
+    t = gen_transcripts(4000)
+    shard_dir = str(tmp_path / "shards")
+    os.makedirs(shard_dir)
+    per = (t.num_rows + 4) // 5
+    for k in range(5):
+        _pq.write_table(t.slice(k * per, per),
+                        os.path.join(shard_dir, f"part-{k:05d}.parquet"))
+
+    steps = [{"role": "user"}, {"role": "tool"}, {"role": "user"}]
+    emit = ((1, "tool", "tool"),)
+    mk = lambda: ParallelCheckpointingCepRunner(  # noqa: E731
+        steps, within_us=600_000_000, emit=emit,
+        lateness_s=6 * 3600.0, num_buckets=4,
+    )
+    kw = dict(micro_batch_rows=256, checkpoint_every=1)
+    key = ["conv_id", "start_turn_idx"]
+
+    full_dir = str(tmp_path / "full")
+    m_full = mk().run(shard_dir, full_dir, **kw)
+    assert m_full is not None and m_full["partitions"] >= 2
+    full = read_committed(full_dir).to_pandas().sort_values(key).reset_index(drop=True)
+
+    crash_dir = str(tmp_path / "crash")
+    assert mk().run(shard_dir, crash_dir, stop_after_epochs=2, **kw) is None
+    m_res = mk().run(shard_dir, crash_dir, **kw)
+    assert m_res is not None
+    resumed = read_committed(crash_dir).to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(resumed, full)
+    assert not resumed.duplicated(key).any()
+
+    plain, _m = ParallelCepRunner(
+        steps, within_us=600_000_000, emit=emit, lateness_s=6 * 3600.0, num_buckets=4
+    ).run(shard_dir, micro_batch_rows=256)
+    plain = plain.sort_values(key).reset_index(drop=True)
+    assert len(plain) > 0
+    pd.testing.assert_frame_equal(resumed, plain.astype(resumed.dtypes.to_dict()))
+
+    m_again = mk().run(shard_dir, crash_dir, **kw)
+    assert m_again["partitions"] == m_res["partitions"]
