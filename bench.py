@@ -63,6 +63,9 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
 
     from pipeflow_ray.pipelines.queries import QUERIES
 
+    # task-pool queries first, actor-spawning streaming runners LAST: a
+    # finishing streaming topology's dying workers hold their CPUs for ~3 s
+    # (see working notes), which would tax whatever query runs next
     names = [
         "q1_pricing_summary",
         "filter_project",
@@ -70,14 +73,14 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "session_events",
         "transcripts_turn_join",
         "transcripts_sessions",
-        "streaming_sessions",
         "cep_pattern_turns",
-        "streaming_cep_pattern",
         "dedup_exact_docs",
         "winnow_fingerprint_docs",
         "minhash_pairs_docs",
         "ann_topk",
         "hash_join_segment",
+        "streaming_sessions",
+        "streaming_cep_pattern",
         "streaming_join",
     ]
     out = {}

@@ -664,6 +664,58 @@ def quantiles_lineitem(sf_dir):
     return grouped_quantiles(ds, ["l_returnflag"], "qty", qs=(0.25, 0.5, 0.75))
 
 
+@q(
+    "turn_analytics_transcripts",
+    f"""SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+               CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS BIGINT) AS delta_us,
+               CAST(sum(length(coalesce(text, ''))) OVER (
+                    PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars,
+               CAST(row_number() OVER w AS BIGINT) AS rn
+        FROM read_parquet('{_TP001}')
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)""",
+)
+def turn_analytics_transcripts(sf_dir):
+    """SQL window-function family as a distributed operator: per-conversation
+    inter-turn latency (diff of event time), running char total (cumsum) and
+    row_number, ordered by turn_idx (stages/window.keyed_window_functions).
+    Text is reduced to n_chars BEFORE the exchange (shuffle carries 4 int
+    columns, never text)."""
+    from pipeflow_ray.stages.window import keyed_window_functions
+
+    ds = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id", "turn_idx", "text", "ts"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"].cast(pa.int64()),
+                "nc": pc.utf8_length(pc.fill_null(t["text"], "")).cast(pa.int64()),
+                "ts_us": t["ts"].cast(pa.int64()),
+            }
+        )
+
+    pruned = ds.map_batches(_prep, batch_format="pyarrow")
+    out = keyed_window_functions(
+        pruned, "conv_id", "turn_idx",
+        {"delta_us": ("diff", "ts_us"), "cum_chars": ("cumsum", "nc"),
+         "rn": ("row_number",)},
+    )
+
+    def _project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "delta_us": t["delta_us"].cast(pa.int64()),
+                "cum_chars": t["cum_chars"].cast(pa.int64()),
+                "rn": t["rn"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(_project, batch_format="pyarrow")
+
+
 _CEP_SQL = f"""WITH s AS (
       SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS ts_us,
              lead(role, 1) OVER w AS role1, lead(role, 2) OVER w AS role2,

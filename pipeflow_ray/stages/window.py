@@ -401,3 +401,57 @@ def grouped_quantiles(
     )
     return grouped_by_bucket(part, list(keys), red, num_buckets=num_buckets,
                              batch_format="pandas")
+
+
+def _analytics_reduce(df, key, order, specs):
+    """Per-bucket ordered analytics: one mergesort, then C-level pandas
+    groupby shift/diff/cumsum/cumcount per spec — no per-key Python."""
+    import pandas as pd  # noqa: F401 - kernel runs inside reduce tasks
+
+    g = df.sort_values([key, order], kind="mergesort").reset_index(drop=True)
+    gb = g.groupby(key, sort=False)
+    for name, spec in specs.items():
+        kind = spec[0]
+        n = spec[2] if len(spec) > 2 else 1
+        if kind == "lag":
+            g[name] = gb[spec[1]].shift(n)
+        elif kind == "lead":
+            g[name] = gb[spec[1]].shift(-n)
+        elif kind == "diff":
+            g[name] = gb[spec[1]].diff(n)
+        elif kind == "cumsum":
+            g[name] = gb[spec[1]].cumsum()
+        elif kind == "row_number":
+            g[name] = gb.cumcount() + 1
+        else:
+            raise ValueError(f"unknown analytics kind {kind!r}")
+    return g
+
+
+def keyed_window_functions(
+    ds: ray.data.Dataset,
+    key: str,
+    order: str,
+    specs: dict,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key ordered analytics functions — the SQL window-function family
+    (``lag/lead/diff/cumsum/row_number OVER (PARTITION BY key ORDER BY
+    order)``) as a distributed operator.
+
+    *specs*: ``{out_name: (kind, col[, n])}`` with kind in lag/lead/diff/
+    cumsum, or ``(\"row_number\",)``. Row count is preserved; lag/lead/diff
+    emit nulls at partition edges exactly like SQL.
+
+    Shape: one key exchange co-locates each partition, then a single
+    mergesort + vectorized grouped shifts per bucket. Unlike the aggregate
+    operators there is no combiner (every row is an output row) — shuffle
+    volume is the projected row set, so prune columns before calling.
+    """
+    import functools
+
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    red = functools.partial(_analytics_reduce, key=key, order=order, specs=dict(specs))
+    return grouped_by_bucket(ds, [key], red, num_buckets=num_buckets,
+                             batch_format="pandas")

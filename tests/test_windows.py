@@ -140,3 +140,39 @@ def test_grouped_quantiles_match_duckdb_quantile_disc():
                CAST(quantile_disc(v, 0.75) AS BIGINT) AS p75
         FROM t GROUP BY k ORDER BY k""").df()
     pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
+
+
+def test_keyed_window_functions_match_duckdb():
+    """lag/diff/cumsum/row_number over (PARTITION BY k ORDER BY i) must equal
+    DuckDB window functions, including nulls at partition edges."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pipeflow_ray.stages.window import keyed_window_functions
+
+    rng = np.random.default_rng(5)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", "d"], size=n),
+        "v": rng.integers(0, 100, size=n).astype(np.int64),
+    })
+    df["i"] = df.groupby("k").cumcount().astype(np.int64)
+    ds = ray.data.from_pandas(df.sample(frac=1.0, random_state=1)).repartition(4)
+    got = keyed_window_functions(
+        ds, "k", "i",
+        {"prev_v": ("lag", "v"), "dv": ("diff", "v"),
+         "cv": ("cumsum", "v"), "rn": ("row_number",)},
+    ).to_pandas().sort_values(["k", "i"]).reset_index(drop=True)
+    ref = duckdb.query_df(df, "t", """
+        SELECT k, v, i,
+               lag(v) OVER w AS prev_v,
+               v - lag(v) OVER w AS dv,
+               sum(v) OVER (PARTITION BY k ORDER BY i ROWS UNBOUNDED PRECEDING) AS cv,
+               row_number() OVER w AS rn
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY i) ORDER BY k, i""").df()
+    for c in ("prev_v", "dv", "cv", "rn"):
+        pd.testing.assert_series_equal(
+            got[c].astype("Float64"), ref[c].astype("Float64"), check_names=False
+        )
