@@ -315,3 +315,71 @@ def pii_redact(text_col: str = "text", out: str = "text_redacted"):
         return t.append_column(out, red)
 
     return _apply
+
+
+def _doc_token_tf(t: pa.Table, text_col: str, id_col: str) -> pd.DataFrame:
+    """Per-batch explode → (doc, token, tf): one Arrow literal-space split,
+    then a C-level pandas groupby over (doc, token) strings — exact (no
+    hashing), each document is a single row so tf never splits across
+    batches."""
+    lists = pc.split_pattern(pc.fill_null(t[text_col], ""), " ").combine_chunks()
+    off = lists.offsets.to_numpy().astype(np.int64)
+    doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), np.diff(off))
+    df = pd.DataFrame({"__row": doc_of, "token": lists.values.to_pandas()})
+    g = df.groupby(["__row", "token"], sort=False).size().reset_index(name="tf")
+    ids = t[id_col].to_pandas()
+    return pd.DataFrame(
+        {
+            id_col: ids.iloc[g["__row"]].to_numpy(),
+            "token": g.token.to_numpy(),
+            "tf": g.tf.to_numpy(np.int64),
+        }
+    )
+
+
+def _tfidf_reduce(df: pd.DataFrame, n_docs: int, id_col: str) -> pd.DataFrame:
+    """Per-token-bucket reduce: document frequency + rational tf-idf score.
+    Rows arrive one-per-(doc, token), so df = group size."""
+    dfc = df.groupby("token", sort=False)["tf"].transform("size").to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            id_col: df[id_col].to_numpy(),
+            "token": df.token.to_numpy(),
+            "tf": df.tf.to_numpy(np.int64),
+            "df": dfc,
+        }
+    )
+    # rational idf (tf·N/df), micro-floored: ln-free so the score is a single
+    # float division of exact ints — bit-identical across engines (the same
+    # reason the driver-gate discipline avoids float accumulation)
+    out["tfidf_micro"] = np.floor(
+        1e6 * out.tf.to_numpy() * float(n_docs) / dfc
+    ).astype(np.int64)
+    return out
+
+
+def tfidf_terms(docs, text_col: str = "text", id_col: str = "doc_id",
+                num_buckets: int | None = None):
+    """Corpus vocabulary statistics + per-(doc, token) tf-idf scores — the
+    vocabulary-build stage of a training-data pipeline.
+
+    Shape: per-batch explode computes exact per-doc term frequencies (each
+    doc is one row, so no combiner is needed), ONE token-keyed exchange
+    co-locates each term's postings to count document frequency and attach
+    it back — no driver aggregation, no second pass. Corpus size N is a
+    Dataset count (metadata-cheap). Hot-token skew note: a stopword's
+    postings land in one bucket; at corpus scale pre-aggregate or broadcast
+    the df table for bounded vocabularies instead.
+    """
+    import functools
+
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    n_docs = docs.count()
+    tf = docs.map_batches(
+        functools.partial(_doc_token_tf, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+    )
+    red = functools.partial(_tfidf_reduce, n_docs=n_docs, id_col=id_col)
+    return grouped_by_bucket(tf, ["token"], red, num_buckets=num_buckets,
+                             batch_format="pandas")

@@ -638,6 +638,23 @@ def streaming_sessions(sf_dir):
 
 
 @q(
+    "semi_join_customers",
+    """SELECT c_custkey, c_mktsegment FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def semi_join_customers(sf_dir):
+    """Distributed semi-join (SQL EXISTS): customers that placed at least one
+    order — co-partitioned is_in keep-matches, the complement of anti_join;
+    the orders side ships only bucket-local distinct keys."""
+    from pipeflow_ray.stages.join import semi_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return semi_join(cust, orders, "c_custkey", "o_custkey")
+
+
+@q(
     "quantiles_lineitem",
     """SELECT l_returnflag,
               CAST(count(*) AS BIGINT) AS n,
@@ -1048,6 +1065,31 @@ def pii_redact_docs(sf_dir):
     return aug.map_batches(pii_redact(), batch_format="pyarrow").select_columns(
         ["doc_id", "n_emails", "n_ips", "n_phones", "text_redacted"]
     )
+
+
+@q(
+    "tfidf_docs",
+    """WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+                  FROM documents),
+            tk AS (SELECT doc_id, unnest(toks) AS token FROM d),
+            tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                   FROM tk GROUP BY 1, 2),
+            dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+       SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+              CAST(floor(1000000.0 * tf.tf * n.n_docs / dfreq.df) AS BIGINT)
+                  AS tfidf_micro
+       FROM tf JOIN dfreq USING (token), n""",
+)
+def tfidf_docs(sf_dir):
+    """Vocabulary build + per-(doc, token) tf-idf: exact per-doc term
+    frequencies in the explode stage, document frequency via one token-keyed
+    exchange, rational ln-free idf for cross-engine bit-determinism
+    (functions/text.tfidf_terms)."""
+    from pipeflow_ray.functions.text import tfidf_terms
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_terms(docs)
 
 
 @q("repetition_docs", _REPETITION_SQL)

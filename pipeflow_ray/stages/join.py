@@ -283,10 +283,11 @@ def asof_join(
 
 
 @ray.remote
-def _anti_join_task(n_left: int, left_key: str, right_key: str, *slices):
-    """Per-bucket anti semi-join: keep left rows whose key does NOT appear in
-    the co-partitioned right side. Module-level task (per-call closures
-    collide same-qualname exports in long sessions — see stages/core.py)."""
+def _semi_filter_task(n_left: int, left_key: str, right_key: str, keep: bool, *slices):
+    """Per-bucket (anti-)semi-join: keep left rows whose key does (keep=True,
+    semi) or does NOT (keep=False, anti) appear in the co-partitioned right
+    side. Module-level task (per-call closures collide same-qualname exports
+    in long sessions — see stages/core.py)."""
     import pyarrow.compute as pc
 
     l_slices, r_slices = slices[:n_left], slices[n_left:]
@@ -296,11 +297,12 @@ def _anti_join_task(n_left: int, left_key: str, right_key: str, *slices):
     lt = pa.concat_tables(ls, promote_options="default")
     rs = [t.select([right_key]) for t in r_slices if t.num_rows]
     if not rs:
-        return lt
+        return None if keep else lt
     ids = pc.unique(
         pa.concat_tables(rs, promote_options="default")[right_key].combine_chunks()
     )
-    return lt.filter(pc.invert(pc.is_in(lt[left_key], value_set=ids)))
+    mask = pc.is_in(lt[left_key], value_set=ids)
+    return lt.filter(mask if keep else pc.invert(mask))
 
 
 def anti_join(
@@ -319,6 +321,24 @@ def anti_join(
     replacement for the collect-ids-into-a-set pattern (round-2 VERDICT #2):
     at a 100-TB corpus with a 20-50% dup rate the loser-id set is tens of GB,
     which only ever exists sharded across bucket tasks here."""
+    return _semi_filter(left, right, left_on, right_on, num_buckets, keep=False)
+
+
+def semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed semi-join (SQL EXISTS): left rows whose key HAS a match in
+    right — same co-partitioned is_in machinery as :func:`anti_join`, keeping
+    matches instead of dropping them. The right side contributes only its
+    bucket-local distinct key set; its payload never moves."""
+    return _semi_filter(left, right, left_on, right_on, num_buckets, keep=True)
+
+
+def _semi_filter(left, right, left_on, right_on, num_buckets, keep: bool):
     from pipeflow_ray.stages.core import default_buckets, hash_exchange
 
     right_on = right_on or left_on
@@ -327,7 +347,7 @@ def anti_join(
     lb = hash_exchange(left, [left_on], num_buckets)
     rb = hash_exchange(right, [right_on], num_buckets)
     outs = [
-        _anti_join_task.remote(len(l), left_on, right_on, *l, *r)
+        _semi_filter_task.remote(len(l), left_on, right_on, keep, *l, *r)
         for l, r in zip(lb, rb)
     ]
     counts = ray.get([_nrows_task.remote(o) for o in outs])

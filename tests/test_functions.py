@@ -355,3 +355,34 @@ def test_pii_redact_counts_and_tokens():
     assert out.text_redacted[1] == "call <PHONE> or visit <IP>"
     assert out.text_redacted[2] == ""
     assert out.text_redacted[3] == "plain tokens only 3.14"
+
+
+def test_tfidf_terms_vs_brute_force():
+    """Exact tf/df/score vs a Counter-based per-corpus reference."""
+    import collections
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pipeflow_ray.functions.text import tfidf_terms
+
+    texts = ["a b b c", "b c c d", "", None, "a a a", "e"]
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(docs).repartition(3)
+    got = (
+        tfidf_terms(ds, num_buckets=4).to_pandas()
+        .sort_values(["doc_id", "token"]).reset_index(drop=True)
+    )
+    n_docs = len(texts)
+    tf = {(i, tok): c
+          for i, s in enumerate(texts)
+          for tok, c in collections.Counter((s or "").split(" ")).items()}
+    dfreq = collections.Counter(tok for (_i, tok) in tf)
+    rows = [
+        {"doc_id": i, "token": tok, "tf": c, "df": dfreq[tok],
+         "tfidf_micro": int(np.floor(1e6 * c * float(n_docs) / dfreq[tok]))}
+        for (i, tok), c in tf.items()
+    ]
+    ref = pd.DataFrame(rows).sort_values(["doc_id", "token"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))

@@ -106,3 +106,27 @@ def test_asof_join_matches_merge_asof_oracle():
     ).sort_values(["k", "ts", "lv"]).reset_index(drop=True)
     assert len(got) == len(ref)
     pd.testing.assert_series_equal(got.rv.fillna(-1), ref.rv.fillna(-1), check_dtype=False)
+
+
+def test_semi_join_complements_anti_join():
+    """semi ∪ anti = left (disjoint), and semi keeps exactly the EXISTS rows."""
+    import pandas as pd
+    import ray.data
+
+    from pipeflow_ray.stages.join import anti_join, semi_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 5, 5], "v": list("abcdef")})
+    right = pd.DataFrame({"j": [2, 2, 4, 9]})
+    lds = ray.data.from_pandas(left).repartition(3)
+    rds = ray.data.from_pandas(right).repartition(2)
+    semi = semi_join(lds, rds, "k", "j", num_buckets=4).to_pandas()
+    anti = anti_join(lds, rds, "k", "j", num_buckets=4).to_pandas()
+    assert sorted(semi.v) == ["b", "d"]
+    assert sorted(anti.v) == ["a", "c", "e", "f"]
+    both = pd.concat([semi, anti]).sort_values("v").reset_index(drop=True)
+    pd.testing.assert_frame_equal(both, left.rename(columns={}).sort_values("v").reset_index(drop=True))
+
+    # empty right: semi empty, anti = left
+    empty = ray.data.from_pandas(pd.DataFrame({"j": pd.Series([], dtype="int64")}))
+    assert semi_join(lds, empty, "k", "j", num_buckets=4).count() == 0
+    assert anti_join(lds, empty, "k", "j", num_buckets=4).count() == len(left)
