@@ -383,3 +383,66 @@ def tfidf_terms(docs, text_col: str = "text", id_col: str = "doc_id",
     red = functools.partial(_tfidf_reduce, n_docs=n_docs, id_col=id_col)
     return grouped_by_bucket(tf, ["token"], red, num_buckets=num_buckets,
                              batch_format="pandas")
+
+
+NGRAM_SEP = "\x1f"  # unit separator — token n-gram join char (cannot occur in
+# space-split tokens, so the joined string is a bijective n-gram encoding)
+
+
+def _token_ngrams(t: pa.Table, text_col: str, k: int):
+    """(doc_of, ngram_strings) for every k-token window position (duplicates
+    kept). Vectorized: one Arrow split + k-1 shifted pandas str concats."""
+    lists = pc.split_pattern(pc.fill_null(t[text_col], ""), " ").combine_chunks()
+    off = lists.offsets.to_numpy().astype(np.int64)
+    L = np.diff(off)
+    doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), L)
+    toks = lists.values.to_pandas()
+    n = len(toks)
+    if n < k:
+        return np.empty(0, np.int64), pd.Series([], dtype=object)
+    same = doc_of[: n - k + 1] == doc_of[k - 1 :]
+    grams = toks.iloc[: n - k + 1].reset_index(drop=True)
+    for j in range(1, k):
+        grams = grams + NGRAM_SEP + toks.iloc[j : n - k + 1 + j].reset_index(drop=True)
+    return doc_of[: n - k + 1][same], grams[same]
+
+
+def build_ngram_blocklist(texts, k: int = 3) -> np.ndarray:
+    """Distinct k-token n-grams of *texts* (a list/Series/Arrow column) — the
+    decontamination reference set (eval benchmarks, held-out sets). These
+    lists are small by nature; callers ``ray.put`` the result once and read
+    it through the per-worker broadcast cache."""
+    t = pa.table({"text": pa.array([x if x is not None else "" for x in texts], pa.string())})
+    _d, grams = _token_ngrams(t, "text", k)
+    return grams.unique()
+
+
+def contamination_check(blocklist_ref, k: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Per-document contamination against a broadcast n-gram blocklist:
+    ``n_hits`` = number of k-token window positions whose n-gram appears in
+    the blocklist, ``contaminated`` = n_hits > 0 (as int64 for SQL parity).
+
+    The blocklist travels as ONE object-store entry (`ray.put` by the
+    caller), fetched once per worker process via the broadcast cache — never
+    re-shipped per batch; membership is a C-level ``Series.isin``. Stateless
+    fn over the warm task pool."""
+    from pipeflow_ray.stages.core import cached_broadcast
+
+    def _apply(t: pa.Table) -> pa.Table:
+        block = cached_broadcast(blocklist_ref)
+        doc_of, grams = _token_ngrams(t, text_col, k)
+        n_hits = np.zeros(t.num_rows, dtype=np.int64)
+        if len(grams):
+            hit = grams.isin(block).to_numpy()
+            if hit.any():
+                n_hits = np.bincount(doc_of[hit], minlength=t.num_rows).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "contaminated": pa.array((n_hits > 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _apply

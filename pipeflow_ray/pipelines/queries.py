@@ -1068,6 +1068,48 @@ def pii_redact_docs(sf_dir):
 
 
 @q(
+    "contamination_docs",
+    """WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+                  FROM documents),
+            tk AS (SELECT doc_id, unnest(toks) AS tok,
+                          generate_subscripts(toks, 1) AS i FROM d),
+            seq AS (SELECT doc_id,
+                           tok || chr(31) || lead(tok, 1) OVER w
+                               || chr(31) || lead(tok, 2) OVER w AS tg
+                    FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+            blk AS (SELECT DISTINCT tg FROM seq WHERE doc_id < 10 AND tg IS NOT NULL),
+            hits AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                     FROM seq s JOIN blk USING (tg) GROUP BY s.doc_id)
+       SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+              CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+                  AS contaminated
+       FROM d LEFT JOIN hits h USING (doc_id)""",
+)
+def contamination_docs(sf_dir):
+    """Decontamination check: per-doc count of 3-token n-gram positions that
+    appear in a reference blocklist (here: the distinct trigrams of docs
+    0-9, standing in for an eval set — built identically in the SQL oracle).
+    Blocklist broadcast once via ray.put + per-worker cache; membership is a
+    C-level isin per batch (functions/text.contamination_check)."""
+    from pipeflow_ray.functions.text import build_ngram_blocklist, contamination_check
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    import pyarrow.dataset as pads
+
+    ref_texts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+            filter=pads.field("doc_id") < 10,  # row-group pushdown at the read
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .text.tolist()
+    )
+    block_ref = ray.put(build_ngram_blocklist(ref_texts, k=3))
+    return docs.map_batches(contamination_check(block_ref, k=3), batch_format="pyarrow")
+
+
+@q(
     "tfidf_docs",
     """WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
                   FROM documents),

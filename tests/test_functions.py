@@ -386,3 +386,29 @@ def test_tfidf_terms_vs_brute_force():
     ]
     ref = pd.DataFrame(rows).sort_values(["doc_id", "token"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
+
+
+def test_contamination_check_vs_brute_force():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from pipeflow_ray.functions.text import build_ngram_blocklist, contamination_check
+
+    ref = ["a b c d", "x y z"]
+    texts = ["a b c d e", "e a b c", "x y z x y z", "q w", None, "b c d"]
+    block = build_ngram_blocklist(ref, k=3)
+    assert sorted(block) == sorted({"a\x1fb\x1fc", "b\x1fc\x1fd", "x\x1fy\x1fz"})
+    t = pa.Table.from_pandas(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    got = contamination_check(ray.put(block), k=3)(t).to_pandas()
+    # brute-force position counts
+    exp = []
+    bl = set(block.tolist())
+    for s in texts:
+        toks = (s or "").split(" ")
+        hits = sum(1 for i in range(len(toks) - 2)
+                   if "\x1f".join(toks[i:i + 3]) in bl)
+        exp.append(hits)
+    assert got.n_hits.tolist() == exp
+    assert got.contaminated.tolist() == [int(h > 0) for h in exp]
