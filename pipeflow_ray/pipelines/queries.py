@@ -638,6 +638,94 @@ def streaming_sessions(sf_dir):
 
 
 @q(
+    "top3_orders_per_customer",
+    """SELECT o_custkey, o_orderkey, price_cents, rn FROM (
+         SELECT o_custkey, o_orderkey,
+                CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+                CAST(row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY floor(o_totalprice * 100) DESC, o_orderkey) AS BIGINT) AS rn
+         FROM orders) WHERE rn <= 3""",
+)
+def top3_orders_per_customer(sf_dir):
+    """Top-N per key (row_number() <= n): each customer's 3 highest-price
+    orders with a deterministic orderkey tiebreak. Per-batch combiner caps
+    shuffle at N rows per key per batch (stages/dedup.top_n_per_key)."""
+    from pipeflow_ray.stages.dedup import top_n_per_key
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": _floor_cents(t["o_totalprice"]),
+            }
+        )
+
+    ds = ds.map_batches(_prep, batch_format="pyarrow")
+    out = top_n_per_key(
+        ds, ["o_custkey"],
+        [("price_cents", "descending"), ("o_orderkey", "ascending")], n=3,
+    )
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("rn"), "rn",
+                            t["rn"].cast(pa.int64()))
+
+    return out.map_batches(_cast, batch_format="pyarrow")
+
+
+@q(
+    "role_sequence_transcripts",
+    f"""SELECT conv_id, string_agg(role, ',' ORDER BY turn_idx) AS roles
+        FROM read_parquet('{_TP001}') GROUP BY conv_id""",
+)
+def role_sequence_transcripts(sf_dir):
+    """Ordered group concatenation (string_agg ... ORDER BY): the full role
+    sequence of every conversation (stages/dedup.group_concat)."""
+    from pipeflow_ray.stages.dedup import group_concat
+
+    ds = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id", "turn_idx", "role"])
+    return group_concat(ds, ["conv_id"], "role", "turn_idx", sep=",", out="roles")
+
+
+@q(
+    "role_pivot_transcripts",
+    f"""SELECT conv_id,
+               CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+               CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+               CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool
+        FROM read_parquet('{_TP001}') GROUP BY conv_id""",
+)
+def role_pivot_transcripts(sf_dir):
+    """Pivot-by-category as conditional aggregation: per-conversation turn
+    counts by role, via indicator columns + the partial-aggregate combiner
+    (no new operator needed — the pivot is a projection)."""
+    ds = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id", "role"])
+
+    def _ind(t: pa.Table) -> pa.Table:
+        role = t["role"]
+        one = pa.scalar(1, pa.int64())
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "iu": pc.if_else(pc.equal(role, "user"), one, zero),
+                "ia": pc.if_else(pc.equal(role, "assistant"), one, zero),
+                "it": pc.if_else(pc.equal(role, "tool"), one, zero),
+            }
+        )
+
+    ds = ds.map_batches(_ind, batch_format="pyarrow")
+    return partial_aggregate(
+        ds, ["conv_id"],
+        {"n_user": ("sum", "iu"), "n_assistant": ("sum", "ia"), "n_tool": ("sum", "it")},
+    )
+
+
+@q(
     "semi_join_customers",
     """SELECT c_custkey, c_mktsegment FROM customer c
        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",

@@ -101,3 +101,75 @@ def keep_first(
 
     ds = ds.map_batches(_local, batch_format="pyarrow")
     return grouped_by_bucket(ds, keys, _first, batch_format="pandas")
+
+
+def top_n_per_key(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    order_by: list[tuple[str, str]],
+    n: int,
+    rank_col: str | None = "rn",
+) -> ray.data.Dataset:
+    """Top-N rows per key under a multi-directional order (generalizes
+    :func:`keep_first` from N=1), with an optional 1-based ``rank_col`` —
+    the SQL ``row_number() OVER (...) <= n`` pattern. Order must be total
+    (include a tiebreak column) for deterministic output.
+
+    Bucket-vectorized: a per-batch combiner caps each batch's contribution
+    at N rows per key (so the shuffle carries ≤ N·keys rows per batch, not
+    the row count), then one sorted grouped ``head(n)`` per hash bucket."""
+    import pandas as pd
+
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    cols = [c for c, _ in order_by]
+    asc = [d != "descending" for _, d in order_by]
+
+    def _top(df: pd.DataFrame, final: bool) -> pd.DataFrame:
+        df = df.sort_values(keys + cols, ascending=[True] * len(keys) + asc,
+                            kind="mergesort")
+        out = df.groupby(keys, sort=False).head(n)
+        if final and rank_col is not None:
+            out = out.copy()
+            out[rank_col] = out.groupby(keys, sort=False).cumcount() + 1
+        return out
+
+    def _local(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(_top(t.to_pandas(), final=False),
+                                    preserve_index=False)
+
+    import functools
+
+    ds = ds.map_batches(_local, batch_format="pyarrow")
+    return grouped_by_bucket(ds, keys, functools.partial(_top, final=True),
+                             batch_format="pandas")
+
+
+def group_concat(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    order_col: str,
+    sep: str = ",",
+    out: str = "agg",
+) -> ray.data.Dataset:
+    """Ordered group concatenation — SQL ``string_agg(value, sep ORDER BY
+    order_col)``. One key exchange; per bucket a single mergesort, then one
+    C-implemented ``str.join`` per KEY (a per-key loop over #keys, not
+    #rows — same budget as the session fragment merge)."""
+    import pandas as pd
+
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    def _cat(df: pd.DataFrame) -> pd.DataFrame:
+        # SQL string_agg skips NULLs; a group that is ALL nulls is omitted
+        # here (SQL would emit it with a NULL aggregate — documented edge)
+        df = df.dropna(subset=[value_col])
+        df = df.sort_values(keys + [order_col], kind="mergesort")
+        vals = df[value_col]
+        if vals.dtype != object:  # SQL string_agg casts to text implicitly
+            vals = vals.astype(str)
+        g = vals.groupby([df[k] for k in keys], sort=False).agg(lambda s: sep.join(s))
+        return g.rename(out).reset_index()
+
+    return grouped_by_bucket(ds, keys, _cat, batch_format="pandas")

@@ -166,3 +166,32 @@ def test_canonicalize_columns():
         .to_list()
     )
     assert set(out[0].keys()) == {"name", "age"}
+
+
+def test_top_n_per_key_and_group_concat():
+    import pandas as pd
+    import ray.data
+
+    from pipeflow_ray.stages.dedup import group_concat, top_n_per_key
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "a", "b", "b", "c"],
+        "v": [5, 9, 9, 1, 3, 7, 2],
+        "i": [0, 1, 2, 3, 0, 1, 0],
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    top = (
+        top_n_per_key(ds, ["k"], [("v", "descending"), ("i", "ascending")], n=2)
+        .to_pandas().sort_values(["k", "rn"]).reset_index(drop=True)
+    )
+    assert top[["k", "v", "i", "rn"]].values.tolist() == [
+        ["a", 9, 1, 1], ["a", 9, 2, 2], ["b", 7, 1, 1], ["b", 3, 0, 2],
+        ["c", 2, 0, 1],
+    ]
+
+    cat = (
+        group_concat(ds, ["k"], "v", "i", sep="-", out="seq")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    # values joined in i order per key (v rendered via str)
+    assert cat.seq.tolist() == ["5-9-9-1", "3-7", "2"]
