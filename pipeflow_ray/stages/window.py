@@ -423,6 +423,14 @@ def _analytics_reduce(df, key, order, specs):
             g[name] = gb[spec[1]].cumsum()
         elif kind == "row_number":
             g[name] = gb.cumcount() + 1
+        elif kind == "rank":  # SQL rank(): ties share, gaps after
+            g[name] = gb[spec[1]].rank(method="min").astype("int64")
+        elif kind == "dense_rank":
+            g[name] = gb[spec[1]].rank(method="dense").astype("int64")
+        elif kind == "cummax":
+            g[name] = gb[spec[1]].cummax()
+        elif kind == "cummin":
+            g[name] = gb[spec[1]].cummin()
         else:
             raise ValueError(f"unknown analytics kind {kind!r}")
     return g
@@ -440,8 +448,10 @@ def keyed_window_functions(
     order)``) as a distributed operator.
 
     *specs*: ``{out_name: (kind, col[, n])}`` with kind in lag/lead/diff/
-    cumsum, or ``(\"row_number\",)``. Row count is preserved; lag/lead/diff
-    emit nulls at partition edges exactly like SQL.
+    cumsum/cummax/cummin (over the *order* sequence), rank/dense_rank
+    (``rank() OVER (PARTITION BY key ORDER BY col)`` — ranked by the value
+    column, ties share), or ``(\"row_number\",)``. Row count is preserved;
+    lag/lead/diff emit nulls at partition edges exactly like SQL.
 
     Shape: one key exchange co-locates each partition, then a single
     mergesort + vectorized grouped shifts per bucket. Unlike the aggregate

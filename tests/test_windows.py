@@ -176,3 +176,35 @@ def test_keyed_window_functions_match_duckdb():
         pd.testing.assert_series_equal(
             got[c].astype("Float64"), ref[c].astype("Float64"), check_names=False
         )
+
+
+def test_keyed_window_rank_kinds_match_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pipeflow_ray.stages.window import keyed_window_functions
+
+    rng = np.random.default_rng(9)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], size=n),
+        "v": rng.integers(0, 15, size=n).astype(np.int64),  # many ties
+    })
+    df["i"] = df.groupby("k").cumcount().astype(np.int64)
+    ds = ray.data.from_pandas(df.sample(frac=1.0, random_state=2)).repartition(3)
+    got = keyed_window_functions(
+        ds, "k", "i",
+        {"r": ("rank", "v"), "dr": ("dense_rank", "v"), "mx": ("cummax", "v"),
+         "mn": ("cummin", "v")},
+    ).to_pandas().sort_values(["k", "i"]).reset_index(drop=True)
+    ref = duckdb.query_df(df, "t", """
+        SELECT k, v, i,
+               rank() OVER (PARTITION BY k ORDER BY v) AS r,
+               dense_rank() OVER (PARTITION BY k ORDER BY v) AS dr,
+               max(v) OVER (PARTITION BY k ORDER BY i ROWS UNBOUNDED PRECEDING) AS mx,
+               min(v) OVER (PARTITION BY k ORDER BY i ROWS UNBOUNDED PRECEDING) AS mn
+        FROM t ORDER BY k, i""").df()
+    for c in ("r", "dr", "mx", "mn"):
+        assert got[c].astype("int64").tolist() == ref[c].astype("int64").tolist(), c
