@@ -1604,6 +1604,53 @@ def flagship(sf_dir):
 
 
 @q(
+    "flagship_windowed",
+    f"""WITH pairs AS (
+          SELECT u.conv_id, u.ts AS user_ts,
+                 epoch_us(r.ts) - epoch_us(u.ts) AS lat_us,
+                 length(trim(coalesce(u.text, ''), {_TRIM})) AS uc,
+                 length(trim(coalesce(r.text, ''), {_TRIM})) AS rc
+          FROM read_parquet('{_TP001}') u
+          JOIN read_parquet('{_TP001}') r
+            ON r.conv_id = u.conv_id AND r.turn_idx = u.turn_idx + 1
+          WHERE u.role = 'user' AND r.role IN ('assistant', 'tool'))
+        SELECT conv_id,
+               CAST(epoch_us(user_ts) // 3600000000 AS BIGINT) * 3600 AS window_start_s,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(max(lat_us) AS BIGINT) AS max_latency_us,
+               CAST(sum(uc) AS BIGINT) AS user_chars,
+               CAST(sum(rc) AS BIGINT) AS resp_chars
+        FROM pairs GROUP BY conv_id, window_start_s""",
+)
+def flagship_windowed(sf_dir):
+    """The FLAGSHIP CHAIN ITSELF (fused read → normalize → exchange →
+    pair+window reduce) under a value-hash oracle: its output projected to
+    hash-safe integers. ``max_latency_us`` recovers exactly from the double
+    seconds (one division+multiply round-trips below 2^53 µs); the mean is
+    excluded — a float sum in bucket order is the one column the discipline
+    cannot make order-independent."""
+    from pipeflow_ray.pipelines.flagship import flagship_pipeline
+
+    ds = flagship_pipeline(_tp(sf_dir))
+
+    def _proj(t: pa.Table) -> pa.Table:
+        ws = pc.multiply(pc.divide(t["window_start"].cast(pa.int64()), _HOUR_US), 3600)
+        lat = pc.round(pc.multiply(t["max_latency_s"], 1_000_000.0)).cast(pa.int64())
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "window_start_s": ws,
+                "n_pairs": t["n_pairs"],
+                "max_latency_us": lat,
+                "user_chars": t["user_chars"],
+                "resp_chars": t["resp_chars"],
+            }
+        )
+
+    return ds.map_batches(_proj, batch_format="pyarrow")
+
+
+@q(
     "asof_join_events",
     """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE value >= 0.5),
            r0 AS (SELECT user_id, ts, event_id, value,
