@@ -776,6 +776,9 @@ def quantiles_lineitem(sf_dir):
                CAST(sum(length(coalesce(text, ''))) OVER (
                     PARTITION BY conv_id ORDER BY turn_idx
                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars,
+               CAST(sum(length(coalesce(text, ''))) OVER (
+                    PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3_chars,
                CAST(row_number() OVER w AS BIGINT) AS rn
         FROM read_parquet('{_TP001}')
         WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)""",
@@ -804,7 +807,7 @@ def turn_analytics_transcripts(sf_dir):
     out = keyed_window_functions(
         pruned, "conv_id", "turn_idx",
         {"delta_us": ("diff", "ts_us"), "cum_chars": ("cumsum", "nc"),
-         "rn": ("row_number",)},
+         "roll3_chars": ("rolling_sum", "nc", 3), "rn": ("row_number",)},
     )
 
     def _project(t: pa.Table) -> pa.Table:
@@ -814,6 +817,7 @@ def turn_analytics_transcripts(sf_dir):
                 "turn_idx": t["turn_idx"],
                 "delta_us": t["delta_us"].cast(pa.int64()),
                 "cum_chars": t["cum_chars"].cast(pa.int64()),
+                "roll3_chars": t["roll3_chars"].cast(pa.int64()),
                 "rn": t["rn"].cast(pa.int64()),
             }
         )

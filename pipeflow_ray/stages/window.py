@@ -431,6 +431,11 @@ def _analytics_reduce(df, key, order, specs):
             g[name] = gb[spec[1]].cummax()
         elif kind == "cummin":
             g[name] = gb[spec[1]].cummin()
+        elif kind == "rolling_sum":  # SQL: sum(col) OVER (... ROWS n-1 PRECEDING)
+            g[name] = (
+                gb[spec[1]].rolling(n, min_periods=1).sum()
+                .reset_index(level=0, drop=True)
+            )
         else:
             raise ValueError(f"unknown analytics kind {kind!r}")
     return g
@@ -448,7 +453,8 @@ def keyed_window_functions(
     order)``) as a distributed operator.
 
     *specs*: ``{out_name: (kind, col[, n])}`` with kind in lag/lead/diff/
-    cumsum/cummax/cummin (over the *order* sequence), rank/dense_rank
+    cumsum/cummax/cummin/rolling_sum (over the *order* sequence;
+    rolling_sum n = window rows, SQL ``ROWS n-1 PRECEDING``), rank/dense_rank
     (``rank() OVER (PARTITION BY key ORDER BY col)`` — ranked by the value
     column, ties share), or ``(\"row_number\",)``. Row count is preserved;
     lag/lead/diff emit nulls at partition edges exactly like SQL.

@@ -208,3 +208,29 @@ def test_keyed_window_rank_kinds_match_duckdb():
         FROM t ORDER BY k, i""").df()
     for c in ("r", "dr", "mx", "mn"):
         assert got[c].astype("int64").tolist() == ref[c].astype("int64").tolist(), c
+
+
+def test_keyed_window_rolling_sum_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pipeflow_ray.stages.window import keyed_window_functions
+
+    rng = np.random.default_rng(13)
+    n = 300
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], size=n),
+        "v": rng.integers(0, 50, size=n).astype(np.int64),
+    })
+    df["i"] = df.groupby("k").cumcount().astype(np.int64)
+    ds = ray.data.from_pandas(df.sample(frac=1.0, random_state=4)).repartition(3)
+    got = keyed_window_functions(
+        ds, "k", "i", {"rs": ("rolling_sum", "v", 3)}
+    ).to_pandas().sort_values(["k", "i"]).reset_index(drop=True)
+    ref = duckdb.query_df(df, "t", """
+        SELECT k, i, sum(v) OVER (PARTITION BY k ORDER BY i
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rs
+        FROM t ORDER BY k, i""").df()
+    assert got.rs.astype("int64").tolist() == ref.rs.astype("int64").tolist()
