@@ -878,6 +878,57 @@ def streaming_cep_pattern(sf_dir):
     return matches
 
 
+_CEP_ABSENCE_SQL = f"""WITH s AS (
+      SELECT conv_id, turn_idx, role, epoch_us(ts) AS ts_us,
+             lead(role, 1) OVER w AS role1,
+             lead(turn_idx, 1) OVER w AS ti1,
+             lead(epoch_us(ts), 1) OVER w AS ts1
+      FROM read_parquet('{_TP001}')
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+    SELECT conv_id, CAST(turn_idx AS BIGINT) AS start_turn_idx,
+           CAST(ts_us AS BIGINT) AS ts_us,
+           CASE WHEN ti1 IS NULL OR ti1 != turn_idx + 1 THEN 'no_next'
+                WHEN role1 NOT IN ('assistant', 'tool') THEN 'wrong_type'
+                ELSE 'too_late' END AS reason
+    FROM s
+    WHERE role = 'user'
+      AND NOT coalesce(ti1 = turn_idx + 1 AND role1 IN ('assistant', 'tool')
+                       AND ts1 - ts_us BETWEEN 0 AND 600000000, FALSE)"""
+
+_CEP_TRIGGER = {"role": "user"}
+_CEP_RESPONSE = {"role": ["assistant", "tool"]}
+
+
+@q("cep_timeout_turns", _CEP_ABSENCE_SQL)
+def cep_timeout_turns(sf_dir):
+    """CEP NEGATION (absence pattern / timeout detection): every user turn
+    with no assistant/tool response on the next turn within 10 minutes,
+    with the failure reason (no_next / wrong_type / too_late) —
+    stages/cep.match_absence."""
+    from pipeflow_ray.stages.cep import match_absence, pattern_columns
+
+    ds = ray.data.read_parquet(
+        _tp(sf_dir), columns=pattern_columns([_CEP_TRIGGER, _CEP_RESPONSE])
+    )
+    return match_absence(ds, _CEP_TRIGGER, _CEP_RESPONSE, within_us=_CEP_WITHIN_US)
+
+
+@q("streaming_cep_timeout", _CEP_ABSENCE_SQL)
+def streaming_cep_timeout(sf_dir):
+    """STREAMING absence detection (CEP timers): a trigger's outcome is
+    decided when the global min-watermark seals its successor row; undecided
+    triggers wait for the successor (or the final flush's no_next) so the
+    reasons match the batch scan exactly under covered disorder."""
+    from pipeflow_ray.pipelines.streaming import ParallelAbsenceRunner
+
+    runner = ParallelAbsenceRunner(
+        _CEP_TRIGGER, _CEP_RESPONSE, within_us=_CEP_WITHIN_US,
+        lateness_s=3 * 3600.0, num_buckets=8,
+    )
+    timeouts, _metrics = runner.run(_tp(sf_dir))
+    return timeouts
+
+
 # ---------------------------------------------------------------------------
 # training-data ops (documents / embeddings)
 # ---------------------------------------------------------------------------

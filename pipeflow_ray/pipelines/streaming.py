@@ -1904,6 +1904,145 @@ class ParallelCheckpointingJoinRunner(_ParallelCheckpointMixin, ParallelJoinRunn
                                       checkpoint_every, stop_after_epochs)
 
 
+@ray.remote(num_cpus=0.25)
+class AbsenceBucketActor:
+    """Absence/timeout CEP state for one hash bucket (the streaming form of
+    :func:`pipeflow_ray.stages.cep.match_absence` — CEP timers).
+
+    A trigger row's outcome is decidable exactly when its successor row
+    (same key, order+1) is SEALED (event time below the global watermark):
+    any not-yet-arrived on-time row would have ts ≥ watermark, and once
+    ``wm > trigger_ts + within`` such a row could not be an in-time
+    response anyway — but the REASON (too_late vs no_next) matches the
+    batch scan only by waiting for the actual successor, so undecided
+    triggers are retained until their successor arrives or the final
+    flush declares ``no_next``. Decided triggers leave the state, making
+    emission exactly-once by construction."""
+
+    def __init__(self, within_us: int, key: str = "conv_id", order: str = "turn_idx"):
+        self.within_us = within_us
+        self.key = key
+        self.order = order
+        self.parts: list[pd.DataFrame] = []
+        self.carry: pd.DataFrame | None = None
+        self.buf: list[pd.DataFrame] = []
+
+    def process(self, df: pd.DataFrame, watermark_us: int) -> None:
+        if len(df):
+            self.parts.append(df)
+
+    def _decide(self, watermark_us: int, final: bool) -> None:
+        frames = self.parts
+        if self.carry is not None and len(self.carry):
+            frames = [self.carry, *frames]
+        self.parts = []
+        if not frames:
+            return
+        df = pd.concat(frames, ignore_index=True)
+        df = df.sort_values([self.key, self.order], kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        conv = pd.factorize(df[self.key], sort=False)[0]
+        ti = df[self.order].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        bits = df["__bits"].to_numpy(np.uint32)
+        trig = (bits & np.uint32(1)) != 0
+        nxt_same = np.zeros(n, dtype=bool)
+        resp_type = np.zeros(n, dtype=bool)
+        late = np.zeros(n, dtype=bool)
+        nxt_sealed = np.zeros(n, dtype=bool)
+        if n > 1:
+            nxt_same[:-1] = (conv[1:] == conv[:-1]) & (ti[1:] == ti[:-1] + 1)
+            resp_type[:-1] = (bits[1:] & np.uint32(2)) != 0
+            span = ts[1:] - ts[:-1]
+            late[:-1] = ~((span <= self.within_us) & (span >= 0))
+            nxt_sealed[:-1] = ts[1:] < watermark_us
+        decided = trig & nxt_same & nxt_sealed
+        fail = decided & ~(resp_type & ~late)
+        idx = np.nonzero(fail)[0]
+        if len(idx):
+            reason = np.where(~resp_type[idx], "wrong_type", "too_late")
+            self.buf.append(pd.DataFrame(
+                {self.key: df[self.key].to_numpy()[idx],
+                 "start_turn_idx": ti[idx], "ts_us": ts[idx], "reason": reason}))
+        if final:
+            # end of stream: triggers with no successor at all → no_next
+            rem = np.nonzero(trig & ~nxt_same)[0]
+            if len(rem):
+                self.buf.append(pd.DataFrame(
+                    {self.key: df[self.key].to_numpy()[rem],
+                     "start_turn_idx": ti[rem], "ts_us": ts[rem],
+                     "reason": np.full(len(rem), "no_next", dtype=object)}))
+            self.carry = None
+            return
+        # retention: unsealed rows + undecided triggers (a sealed successor
+        # of an undecided trigger cannot exist — it would have decided it)
+        undecided_trig = trig & ~decided
+        keep = (ts >= watermark_us) | undecided_trig
+        self.carry = df[keep].reset_index(drop=True)
+
+    def evict(self, watermark_us: int) -> None:
+        self._decide(watermark_us, final=False)
+
+    def flush(self) -> pd.DataFrame:
+        from pipeflow_ray.stages.cep import empty_absence
+
+        self._decide(1 << 62, final=True)
+        parts = self.buf
+        self.buf = []
+        if parts:
+            return pd.concat(parts, ignore_index=True)
+        return empty_absence(self.key)
+
+    def state_size(self) -> int:
+        n = 0 if self.carry is None else len(self.carry)
+        return n + sum(len(p) for p in self.parts)
+
+
+class ParallelAbsenceRunner(_ParallelReplayBase):
+    """Parallel-replay absence/timeout detection. Reuses the ``cep`` replay
+    mode (the two predicates travel as bits 0 and 1 of the step mask); the
+    bucket actors implement the timer semantics. With lateness ≥ total
+    disorder the emissions equal the batch :func:`match_absence` scan
+    (tested)."""
+
+    mode = "cep"
+
+    def __init__(self, trigger, response, within_us: int,
+                 lateness_s: float = 3600.0, num_buckets: int = 8,
+                 max_replayers: int = 16, epoch_batches: int = 64,
+                 key: str = "conv_id", order: str = "turn_idx",
+                 ts_col: str = "ts"):
+        from pipeflow_ray.stages.cep import pattern_columns
+
+        super().__init__(lateness_s, num_buckets, max_replayers, epoch_batches)
+        self.steps = [trigger, response]
+        self.within_us = within_us
+        self.key = key
+        self.order = order
+        self.ts_col = ts_col
+        self.columns = pattern_columns(self.steps, (), key, order, ts_col)
+
+    def _params(self) -> dict:
+        return {"steps": self.steps, "within_us": self.within_us, "emit": (),
+                "key": self.key, "order": self.order, "ts_col": self.ts_col,
+                "columns": self.columns}
+
+    def _make_bucket_actor(self):
+        return AbsenceBucketActor.remote(self.within_us, key=self.key,
+                                         order=self.order)
+
+    def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
+        from pipeflow_ray.stages.cep import empty_absence
+
+        actors, results, n_files = self._replay_all(parquet_path, micro_batch_rows)
+        out = [f for f in ray.get([self._collect(a) for a in actors]) if len(f)]
+        timeouts = (pd.concat(out, ignore_index=True) if out
+                    else empty_absence(self.key))
+        metrics = self._metrics(results, n_files)
+        metrics["timeouts"] = int(len(timeouts))
+        return timeouts, metrics
+
+
 class ParallelCheckpointingCepRunner(_ParallelCheckpointMixin, ParallelCepRunner):
     """Distributed-ingest streaming CEP with epoch-aligned checkpoints and
     exactly-once committed match output — the CEP form of

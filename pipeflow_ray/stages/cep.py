@@ -275,3 +275,103 @@ def match_pattern(
     return grouped_by_bucket(
         pruned, [key], kernel, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Negation / absence patterns (CEP timers): trigger rows with NO qualifying
+# successor — the timeout-detection half of a CEP runtime.
+# ---------------------------------------------------------------------------
+
+ABSENCE_COLS = ("start_turn_idx", "ts_us", "reason")
+
+
+def absence_columns(key: str) -> list[str]:
+    return [key, "start_turn_idx", "ts_us", "reason"]
+
+
+def empty_absence(key: str) -> pd.DataFrame:
+    out = pd.DataFrame(
+        {
+            key: pd.Series([], dtype=object),
+            "start_turn_idx": pd.Series([], dtype=np.int64),
+            "ts_us": pd.Series([], dtype=np.int64),
+            "reason": pd.Series([], dtype=object),
+        }
+    )
+    return out
+
+
+def scan_absence(
+    df: pd.DataFrame,
+    within_us: int,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    assume_sorted: bool = False,
+) -> pd.DataFrame:
+    """Vectorized absence scan over a co-located bucket: emit every TRIGGER
+    row (bit 0 of ``__bits``) whose immediate successor (same key, order+1)
+    is missing (``no_next``), fails the response predicate (bit 1 —
+    ``wrong_type``), or arrives after *within_us* (``too_late``)."""
+    if not len(df):
+        return empty_absence(key)
+    if not assume_sorted:
+        df = df.sort_values([key, order], kind="mergesort").reset_index(drop=True)
+    n = len(df)
+    conv = pd.factorize(df[key], sort=False)[0]
+    ti = df[order].to_numpy(dtype=np.int64)
+    ts = df["ts_us"].to_numpy(dtype=np.int64)
+    bits = df["__bits"].to_numpy(dtype=np.uint32)
+    nxt_same = np.zeros(n, dtype=bool)
+    resp_type = np.zeros(n, dtype=bool)
+    late = np.zeros(n, dtype=bool)
+    if n > 1:
+        nxt_same[:-1] = (conv[1:] == conv[:-1]) & (ti[1:] == ti[:-1] + 1)
+        resp_type[:-1] = (bits[1:] & np.uint32(2)) != 0
+        span = ts[1:] - ts[:-1]
+        late[:-1] = ~((span <= within_us) & (span >= 0))
+    trig = (bits & np.uint32(1)) != 0
+    ok = nxt_same & resp_type & ~late
+    fail = trig & ~ok
+    idx = np.nonzero(fail)[0]
+    reason = np.where(
+        ~nxt_same[idx], "no_next",
+        np.where(~resp_type[idx], "wrong_type", "too_late"),
+    )
+    return pd.DataFrame(
+        {
+            key: df[key].to_numpy()[idx],
+            "start_turn_idx": ti[idx],
+            "ts_us": ts[idx],
+            "reason": reason,
+        }
+    )
+
+
+def _bucket_absence(df, within_us, key, order):
+    return scan_absence(df, within_us, key=key, order=order)
+
+
+def match_absence(
+    ds,
+    trigger,
+    response,
+    within_us: int,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    ts_col: str = "ts",
+    num_buckets: int | None = None,
+):
+    """Batch absence/timeout detection: every *trigger* row with no
+    qualifying *response* on the immediately following row within
+    *within_us* — with the failure ``reason`` (no_next / wrong_type /
+    too_late). Same prep + single-exchange shape as :func:`match_pattern`
+    (the two steps become bits 0 and 1 of the step mask)."""
+    steps = [trigger, response]
+    prep = functools.partial(
+        _prep_table, steps=steps, key=key, order=order, ts_col=ts_col, emit_srcs=[]
+    )
+    pruned = ds.map_batches(prep, batch_format="pyarrow")
+    kernel = functools.partial(_bucket_absence, within_us=within_us, key=key, order=order)
+    return grouped_by_bucket(
+        pruned, [key], kernel, num_buckets=num_buckets, batch_format="pandas"
+    )

@@ -236,3 +236,87 @@ def test_parallel_checkpoint_cep_crash_resume(tmp_path):
 
     m_again = mk().run(shard_dir, crash_dir, **kw)
     assert m_again["partitions"] == m_res["partitions"]
+
+
+def _brute_absence(df, within_us, key="conv_id", order="turn_idx"):
+    """Reference absence scan: trigger = role user, response = next-turn
+    assistant/tool within the span."""
+    df = df.sort_values([key, order], kind="mergesort").reset_index(drop=True)
+    rows = []
+    for i in range(len(df)):
+        if df.role.iloc[i] != "user":
+            continue
+        nxt = df.iloc[i + 1] if i + 1 < len(df) else None
+        same = (nxt is not None and nxt[key] == df[key].iloc[i]
+                and int(nxt[order]) == int(df[order].iloc[i]) + 1)
+        if not same:
+            reason = "no_next"
+        elif nxt.role not in ("assistant", "tool"):
+            reason = "wrong_type"
+        elif not (0 <= int(nxt.ts_us) - int(df.ts_us.iloc[i]) <= within_us):
+            reason = "too_late"
+        else:
+            continue
+        rows.append({key: df[key].iloc[i], "start_turn_idx": int(df[order].iloc[i]),
+                     "ts_us": int(df.ts_us.iloc[i]), "reason": reason})
+    from pipeflow_ray.stages.cep import empty_absence
+    return pd.DataFrame(rows) if rows else empty_absence(key)
+
+
+def test_match_absence_vs_brute_force(transcripts_table):
+    import ray.data
+
+    from pipeflow_ray.stages.cep import match_absence, pattern_columns
+
+    trigger = {"role": "user"}
+    response = {"role": ["assistant", "tool"]}
+    ds = ray.data.from_arrow(
+        transcripts_table.select(pattern_columns([trigger, response]))
+    )
+    got = (
+        match_absence(ds, trigger, response, within_us=600_000_000)
+        .to_pandas().sort_values(["conv_id", "start_turn_idx"]).reset_index(drop=True)
+    )
+    pdf = transcripts_table.to_pandas()
+    pdf["ts_us"] = pdf.ts.astype("datetime64[us]").astype(np.int64)
+    ref = _brute_absence(pdf, 600_000_000).sort_values(
+        ["conv_id", "start_turn_idx"]).reset_index(drop=True)
+    assert len(got) > 0 and set(got.reason) >= {"too_late"}
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_parallel_absence_equals_batch(tmp_path):
+    """Streaming timer semantics (decide when the successor seals; no_next
+    at flush) equals the batch absence scan under covered disorder, with
+    exactly-once emission across epoch barriers."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from pipeflow_ray.fixtures import gen_transcripts
+    from pipeflow_ray.pipelines.streaming import ParallelAbsenceRunner
+
+    t = gen_transcripts(4000)
+    shard_dir = str(tmp_path / "shards")
+    os.makedirs(shard_dir)
+    per = (t.num_rows + 4) // 5
+    for k in range(5):
+        _pq.write_table(t.slice(k * per, per),
+                        os.path.join(shard_dir, f"part-{k:05d}.parquet"))
+
+    runner = ParallelAbsenceRunner({"role": "user"},
+                                   {"role": ["assistant", "tool"]},
+                                   within_us=600_000_000,
+                                   lateness_s=6 * 3600.0, num_buckets=4,
+                                   epoch_batches=2)
+    got, metrics = runner.run(shard_dir, micro_batch_rows=256)
+    assert metrics["late_rows"] == 0 and metrics["rows"] == t.num_rows
+    got = got.sort_values(["conv_id", "start_turn_idx"]).reset_index(drop=True)
+    assert not got.duplicated(["conv_id", "start_turn_idx"]).any()
+
+    pdf = t.to_pandas()
+    pdf["ts_us"] = pdf.ts.astype("datetime64[us]").astype(np.int64)
+    ref = _brute_absence(pdf, 600_000_000).sort_values(
+        ["conv_id", "start_turn_idx"]).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
