@@ -74,6 +74,10 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "transcripts_turn_join",
         "transcripts_sessions",
         "cep_pattern_turns",
+        "cep_timeout_turns",
+        "turn_analytics_transcripts",
+        "repetition_docs",
+        "tfidf_docs",
         "dedup_exact_docs",
         "winnow_fingerprint_docs",
         "minhash_pairs_docs",
