@@ -412,6 +412,51 @@ class Pipeline:
         return self._chain(asof_join(self._ds, other._ds, key, ts_col, direction,
                                      suffix, num_buckets))
 
+    def join_semi(self, other: "Pipeline", left_on: str,
+                  right_on: str | None = None) -> "Pipeline":
+        from pipeflow_ray.stages.join import semi_join
+
+        return self._chain(semi_join(self._ds, other._ds, left_on, right_on))
+
+    def join_anti(self, other: "Pipeline", left_on: str,
+                  right_on: str | None = None) -> "Pipeline":
+        from pipeflow_ray.stages.join import anti_join
+
+        return self._chain(anti_join(self._ds, other._ds, left_on, right_on))
+
+    def match_pattern(self, steps, within_us: int | None = None, emit=(),
+                      key: str = "conv_id", order: str = "turn_idx",
+                      ts_col: str = "ts") -> "Pipeline":
+        """CEP: consecutive per-key step-sequence matches (stages/cep)."""
+        from pipeflow_ray.stages.cep import match_pattern
+
+        return self._chain(match_pattern(self._ds, steps, within_us=within_us,
+                                         emit=emit, key=key, order=order,
+                                         ts_col=ts_col))
+
+    def match_absence(self, trigger, response, within_us: int,
+                      key: str = "conv_id", order: str = "turn_idx",
+                      ts_col: str = "ts") -> "Pipeline":
+        """CEP negation: triggers with no qualifying successor (stages/cep)."""
+        from pipeflow_ray.stages.cep import match_absence
+
+        return self._chain(match_absence(self._ds, trigger, response,
+                                         within_us=within_us, key=key,
+                                         order=order, ts_col=ts_col))
+
+    def window_functions(self, key: str, order: str, specs: dict) -> "Pipeline":
+        """Per-key ordered analytics (lag/lead/diff/cumsum/rank/…)."""
+        from pipeflow_ray.stages.window import keyed_window_functions
+
+        return self._chain(keyed_window_functions(self._ds, key, order, specs))
+
+    def quantiles(self, keys: list[str], value_col: str,
+                  qs=(0.25, 0.5, 0.75)) -> "Pipeline":
+        """Exact grouped discrete quantiles (percentile_disc semantics)."""
+        from pipeflow_ray.stages.window import grouped_quantiles
+
+        return self._chain(grouped_quantiles(self._ds, keys, value_col, qs))
+
     # -------------------------------------------------------------------- sinks
     def write_exactly_once(self, out_dir: str, part_by="conv_id", num_partitions: int = 32,
                            ts_col: str | None = "ts", lineage: dict | None = None):

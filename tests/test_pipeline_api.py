@@ -113,3 +113,41 @@ def test_pipeline_join_asof(tmp_path):
     out = left.join_asof(right, key="k", ts_col="ts", num_buckets=4).to_pandas()
     out = out.sort_values(["k", "ts"]).reset_index(drop=True)
     assert out.val.fillna(-1).tolist() == [1, 1, -1]  # b@7 has no prior right row
+
+
+def test_fluent_cep_join_analytics_surface(transcripts_table):
+    """The round-3 operators are reachable through the fluent Pipeline API."""
+    import pandas as pd
+
+    from pipeflow_ray.pipeline import Pipeline
+
+    p = Pipeline.from_arrow(transcripts_table)
+    matches = p.match_pattern(
+        [{"role": "user"}, {"role": "tool"}, {"role": "user"}],
+        within_us=600_000_000, emit=((1, "tool", "tool"),),
+    ).to_pandas()
+    assert len(matches) > 0 and "tool" in matches.columns
+
+    timeouts = p.match_absence(
+        {"role": "user"}, {"role": ["assistant", "tool"]}, within_us=600_000_000
+    ).to_pandas()
+    assert set(timeouts.reason) <= {"no_next", "wrong_type", "too_late"} and len(timeouts)
+
+    wf = (
+        Pipeline.from_pandas(pd.DataFrame({"k": ["a", "a", "b"], "i": [0, 1, 0],
+                                           "v": [3, 5, 7]}))
+        .window_functions("k", "i", {"rn": ("row_number",), "cv": ("cumsum", "v")})
+        .to_pandas().sort_values(["k", "i"])
+    )
+    assert wf.rn.tolist() == [1, 2, 1] and wf.cv.tolist() == [3, 8, 7]
+
+    q = (
+        Pipeline.from_pandas(pd.DataFrame({"k": ["x"] * 4, "v": [1, 2, 3, 4]}))
+        .quantiles(["k"], "v", qs=(0.5,)).to_pandas()
+    )
+    assert q.p50.tolist() == [2]
+
+    left = Pipeline.from_pandas(pd.DataFrame({"a": [1, 2, 3]}))
+    right = Pipeline.from_pandas(pd.DataFrame({"b": [2, 9]}))
+    assert sorted(left.join_semi(right, "a", "b").to_pandas().a) == [2]
+    assert sorted(left.join_anti(right, "a", "b").to_pandas().a) == [1, 3]
