@@ -878,6 +878,56 @@ def streaming_cep_pattern(sf_dir):
     return matches
 
 
+_CEP_KLEENE_SQL = f"""WITH r AS (
+      SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us,
+             length(coalesce(text, '')) AS nc
+      FROM read_parquet('{_TP001}')),
+    runs AS (
+      SELECT conv_id, min(turn_idx) AS r0, max(turn_idx) AS r1,
+             CAST(count(*) AS BIGINT) AS run_len
+      FROM (SELECT conv_id, turn_idx,
+                   turn_idx - row_number() OVER (PARTITION BY conv_id
+                                                 ORDER BY turn_idx) AS isl
+            FROM r WHERE nc < 300)
+      GROUP BY conv_id, isl)
+    SELECT runs.conv_id, CAST(p.turn_idx AS BIGINT) AS start_turn_idx,
+           CAST(q.turn_idx AS BIGINT) AS end_turn_idx,
+           CAST(p.ts_us AS BIGINT) AS start_ts_us,
+           CAST(q.ts_us AS BIGINT) AS end_ts_us, run_len
+    FROM runs
+    JOIN r p ON p.conv_id = runs.conv_id AND p.turn_idx = runs.r0 - 1
+            AND p.nc >= 1000
+    JOIN r q ON q.conv_id = runs.conv_id AND q.turn_idx = runs.r1 + 1
+            AND q.nc >= 1000
+    WHERE q.ts_us - p.ts_us BETWEEN 0 AND 1800000000"""
+
+
+@q("cep_kleene_turns", _CEP_KLEENE_SQL)
+def cep_kleene_turns(sf_dir):
+    """Kleene-plus CEP (MATCH_RECOGNIZE quantifier): a long turn (≥1000
+    chars), then ONE-OR-MORE consecutive short turns (<300 chars, greedy
+    maximal run), then a long turn, all within 30 minutes — emitting the
+    run length. The oracle states the same greedy semantics via
+    gaps-and-islands SQL (stages/cep.match_kleene)."""
+    from pipeflow_ray.stages.cep import match_kleene
+
+    ds = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id", "turn_idx", "text", "ts"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "ts": t["ts"],
+                "nc": pc.utf8_length(pc.fill_null(t["text"], "")).cast(pa.int64()),
+            }
+        )
+
+    ds = ds.map_batches(_prep, batch_format="pyarrow")
+    steps = [{"nc": (">=", 1000)}, ("+", {"nc": ("<", 300)}), {"nc": (">=", 1000)}]
+    return match_kleene(ds, steps, within_us=1_800_000_000)
+
+
 _CEP_ABSENCE_SQL = f"""WITH s AS (
       SELECT conv_id, turn_idx, role, epoch_us(ts) AS ts_us,
              lead(role, 1) OVER w AS role1,

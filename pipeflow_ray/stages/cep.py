@@ -47,17 +47,25 @@ MAX_STEPS = 32  # step bitmask is a uint32
 _NEG_INF = -(1 << 62)
 
 
+_CMP_OPS = {"==", "!=", "<", "<=", ">", ">="}
+
+
 def _step_mask(df: pd.DataFrame, step) -> np.ndarray:
     """One step's boolean row mask. *step* is either a dict of
-    ``column → value`` (scalar equality) / ``column → [values]``
-    (membership), AND-ed across columns, or a callable
-    ``DataFrame → bool ndarray`` for arbitrary predicates."""
+    ``column → value`` (scalar equality), ``column → [values]``
+    (membership), ``column → (op, operand)`` with op in ==/!=/</<=/>/>=,
+    AND-ed across columns, or a callable ``DataFrame → bool ndarray``."""
     if callable(step):
         return np.asarray(step(df), dtype=bool)
     m = np.ones(len(df), dtype=bool)
     for col, v in step.items():
         s = df[col]
-        if isinstance(v, (list, tuple, set, frozenset, np.ndarray)):
+        if isinstance(v, tuple) and len(v) == 2 and v[0] in _CMP_OPS:
+            op, rhs = v
+            arr = s.to_numpy()
+            m &= {"==": arr == rhs, "!=": arr != rhs, "<": arr < rhs,
+                  "<=": arr <= rhs, ">": arr > rhs, ">=": arr >= rhs}[op]
+        elif isinstance(v, (list, set, frozenset, np.ndarray)):
             m &= s.isin(list(v)).to_numpy()
         else:
             m &= (s == v).to_numpy()
@@ -169,7 +177,11 @@ def _step_mask_table(t: pa.Table, step) -> np.ndarray:
     m = np.ones(t.num_rows, dtype=bool)
     for col, v in step.items():
         c = t[col]
-        if isinstance(v, (list, tuple, set, frozenset, np.ndarray)):
+        if isinstance(v, tuple) and len(v) == 2 and v[0] in _CMP_OPS:
+            op, rhs = v
+            mm = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+                  "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}[op](c, rhs)
+        elif isinstance(v, (list, set, frozenset, np.ndarray)):
             mm = pc.is_in(c, value_set=pa.array(list(v)))
         else:
             mm = pc.equal(c, v)
@@ -372,6 +384,125 @@ def match_absence(
     )
     pruned = ds.map_batches(prep, batch_format="pyarrow")
     kernel = functools.partial(_bucket_absence, within_us=within_us, key=key, order=order)
+    return grouped_by_bucket(
+        pruned, [key], kernel, num_buckets=num_buckets, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kleene-plus patterns: [pre..., B+, post...] — one variable-length
+# one-or-more step (MATCH_RECOGNIZE quantifier), greedy/maximal-run
+# semantics: the B-run is the maximal chain of consecutive B rows, the
+# fixed prefix/suffix steps match the rows immediately around it.
+# ---------------------------------------------------------------------------
+
+KLEENE_COLS = ("start_turn_idx", "end_turn_idx", "start_ts_us", "end_ts_us", "run_len")
+
+
+def empty_kleene(key: str) -> pd.DataFrame:
+    out = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in
+                        (key, *KLEENE_COLS)})
+    out[key] = out[key].astype(object)
+    return out
+
+
+def scan_kleene(
+    df: pd.DataFrame,
+    n_pre: int,
+    n_post: int,
+    within_us: int | None,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    assume_sorted: bool = False,
+) -> pd.DataFrame:
+    """Vectorized maximal-run scan. ``__bits`` layout: bits 0..n_pre−1 =
+    prefix steps, bit n_pre = the B (plus) step, bits n_pre+1.. = suffix
+    steps. Emits one row per maximal B-run whose surrounding fixed steps
+    match on consecutive turns of the same key, with the run length."""
+    if not len(df):
+        return empty_kleene(key)
+    if not assume_sorted:
+        df = df.sort_values([key, order], kind="mergesort").reset_index(drop=True)
+    n = len(df)
+    conv = pd.factorize(df[key], sort=False)[0]
+    ti = df[order].to_numpy(dtype=np.int64)
+    ts = df["ts_us"].to_numpy(dtype=np.int64)
+    bits = df["__bits"].to_numpy(dtype=np.uint32)
+    b = (bits & np.uint32(1 << n_pre)) != 0
+    chained = np.zeros(n, dtype=bool)  # row i chains to row i+1
+    if n > 1:
+        chained[:-1] = (conv[1:] == conv[:-1]) & (ti[1:] == ti[:-1] + 1)
+    prev_b_chain = np.zeros(n, dtype=bool)
+    prev_b_chain[1:] = b[:-1] & chained[:-1]
+    next_b_chain = np.zeros(n, dtype=bool)
+    next_b_chain[:-1] = b[1:] & chained[:-1]
+    rs = np.nonzero(b & ~prev_b_chain)[0]  # maximal-run starts
+    re = np.nonzero(b & ~next_b_chain)[0]  # maximal-run ends (aligned)
+    if not len(rs):
+        return empty_kleene(key)
+    i0 = rs - n_pre
+    i1 = re + n_post
+    valid = (i0 >= 0) & (i1 < n)
+    i0c = np.clip(i0, 0, n - 1)
+    i1c = np.clip(i1, 0, n - 1)
+    # one key, consecutive turns across the whole span (ti strictly
+    # increasing within a key ⇒ span of +1 steps ⟺ total diff == count)
+    valid &= conv[i0c] == conv[i1c]
+    valid &= (ti[i1c] - ti[i0c]) == (i1c - i0c)
+    for j in range(n_pre):
+        valid &= (bits[np.clip(i0 + j, 0, n - 1)] & np.uint32(1 << j)) != 0
+    for j in range(n_post):
+        valid &= (bits[np.clip(re + 1 + j, 0, n - 1)]
+                  & np.uint32(1 << (n_pre + 1 + j))) != 0
+    if within_us is not None:
+        span = ts[i1c] - ts[i0c]
+        valid &= (span <= within_us) & (span >= 0)
+    sel = np.nonzero(valid)[0]
+    return pd.DataFrame(
+        {
+            key: df[key].to_numpy()[i0c[sel]],
+            "start_turn_idx": ti[i0c[sel]],
+            "end_turn_idx": ti[i1c[sel]],
+            "start_ts_us": ts[i0c[sel]],
+            "end_ts_us": ts[i1c[sel]],
+            "run_len": (re - rs)[sel] + 1,
+        }
+    )
+
+
+def _bucket_kleene(df, n_pre, n_post, within_us, key, order):
+    return scan_kleene(df, n_pre, n_post, within_us, key=key, order=order)
+
+
+def match_kleene(
+    ds,
+    steps,
+    within_us: int | None = None,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    ts_col: str = "ts",
+    num_buckets: int | None = None,
+):
+    """Batch Kleene-plus CEP. *steps* is a list where EXACTLY ONE element is
+    wrapped as ``("+", step)`` (the one-or-more step); the rest are fixed
+    single-row steps. Greedy maximal-run semantics (see
+    :func:`scan_kleene`). Same prep/exchange shape as
+    :func:`match_pattern`."""
+    plus_idx = [i for i, s in enumerate(steps)
+                if isinstance(s, tuple) and len(s) == 2 and s[0] == "+"]
+    if len(plus_idx) != 1:
+        raise ValueError("match_kleene needs exactly one ('+', step) element")
+    n_pre = plus_idx[0]
+    n_post = len(steps) - n_pre - 1
+    flat = [s[1] if i == n_pre else s for i, s in enumerate(steps)]
+    prep = functools.partial(
+        _prep_table, steps=flat, key=key, order=order, ts_col=ts_col, emit_srcs=[]
+    )
+    pruned = ds.map_batches(prep, batch_format="pyarrow")
+    kernel = functools.partial(
+        _bucket_kleene, n_pre=n_pre, n_post=n_post, within_us=within_us,
+        key=key, order=order,
+    )
     return grouped_by_bucket(
         pruned, [key], kernel, num_buckets=num_buckets, batch_format="pandas"
     )

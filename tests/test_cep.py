@@ -320,3 +320,68 @@ def test_parallel_absence_equals_batch(tmp_path):
         ["conv_id", "start_turn_idx"]).reset_index(drop=True)
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_scan_kleene_vs_brute_force():
+    """Greedy maximal-run Kleene matching vs a per-run reference across
+    random frames (comparison-op steps)."""
+    from pipeflow_ray.stages.cep import compute_step_bits, empty_kleene, scan_kleene
+
+    for seed in range(4):
+        rng = np.random.default_rng(100 + seed)
+        df = _rand_frame(rng, 300, 8)
+        df["nc"] = rng.integers(0, 2000, size=len(df)).astype(np.int64)
+        steps = [{"nc": (">=", 1000)}, {"nc": ("<", 300)}, {"nc": (">=", 1000)}]
+        d = df.copy()
+        d["__bits"] = compute_step_bits(d, steps)
+        got = scan_kleene(d, 1, 1, within_us=None).sort_values(
+            ["conv_id", "start_turn_idx"]).reset_index(drop=True)
+
+        # brute force: maximal consecutive nc<300 runs per conv, with
+        # nc>=1000 neighbors on adjacent turns
+        sdf = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        by_conv = {
+            c: dict(zip(g.turn_idx.astype(int), zip(g.nc, g.ts_us)))
+            for c, g in sdf.groupby("conv_id")
+        }
+        rows = []
+        for c, turns in by_conv.items():
+            tis = sorted(turns)
+            for t0 in tis:
+                nc0, _ = turns[t0]
+                if not nc0 < 300:
+                    continue
+                prev = turns.get(t0 - 1)
+                if prev is not None and prev[0] < 300:
+                    continue  # not a run start
+                t1 = t0
+                while turns.get(t1 + 1) is not None and turns[t1 + 1][0] < 300:
+                    t1 += 1
+                pre, post = turns.get(t0 - 1), turns.get(t1 + 1)
+                if pre is None or post is None or pre[0] < 1000 or post[0] < 1000:
+                    continue
+                rows.append({"conv_id": c, "start_turn_idx": t0 - 1,
+                             "end_turn_idx": t1 + 1, "start_ts_us": pre[1],
+                             "end_ts_us": post[1], "run_len": t1 - t0 + 1})
+        ref = (pd.DataFrame(rows) if rows else empty_kleene("conv_id")).sort_values(
+            ["conv_id", "start_turn_idx"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_match_kleene_dataset(transcripts_table):
+    """Dataset path with comparison-op steps is non-vacuous on the fixture
+    and produces multi-row runs."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pipeflow_ray.stages.cep import match_kleene
+
+    t = transcripts_table.append_column(
+        "nc", pc.utf8_length(pc.fill_null(transcripts_table["text"], "")).cast("int64")
+    ).select(["conv_id", "turn_idx", "ts", "nc"])
+    ds = ray.data.from_arrow(t)
+    steps = [{"nc": (">=", 1000)}, ("+", {"nc": ("<", 300)}), {"nc": (">=", 1000)}]
+    got = match_kleene(ds, steps, within_us=1_800_000_000).to_pandas()
+    assert len(got) > 0
+    assert (got.end_turn_idx - got.start_turn_idx == got.run_len + 1).all()
+    assert got.run_len.max() >= 2  # genuinely variable-length matches
