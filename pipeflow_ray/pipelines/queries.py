@@ -928,6 +928,31 @@ def cep_kleene_turns(sf_dir):
     return match_kleene(ds, steps, within_us=1_800_000_000)
 
 
+def _derive_nc(t: pa.Table) -> pa.Table:
+    """Replayer-side derivation: n_chars from text (text never routed)."""
+    return t.append_column(
+        "nc", pc.utf8_length(pc.fill_null(t["text"], "")).cast(pa.int64())
+    )
+
+
+@q("streaming_cep_kleene", _CEP_KLEENE_SQL)
+def streaming_cep_kleene(sf_dir):
+    """STREAMING Kleene-plus: maximal-run matches emitted exactly-once when
+    the global min-watermark seals the match's last row (with fixed prefix
+    AND suffix steps, every piece of run-maximality evidence lives inside
+    the span). The n_chars predicate column derives inside the replayer
+    actors, so text never crosses the exchange."""
+    from pipeflow_ray.pipelines.streaming import ParallelKleeneRunner
+
+    steps = [{"nc": (">=", 1000)}, ("+", {"nc": ("<", 300)}), {"nc": (">=", 1000)}]
+    runner = ParallelKleeneRunner(
+        steps, within_us=1_800_000_000, lateness_s=3 * 3600.0, num_buckets=8,
+        derive=_derive_nc, read_columns=["conv_id", "turn_idx", "text", "ts"],
+    )
+    matches, _metrics = runner.run(_tp(sf_dir))
+    return matches
+
+
 _CEP_ABSENCE_SQL = f"""WITH s AS (
       SELECT conv_id, turn_idx, role, epoch_us(ts) AS ts_us,
              lead(role, 1) OVER w AS role1,

@@ -760,7 +760,12 @@ class ShardReplayer:
 
             p = self.params
             emit_srcs = sorted({src for _o, src, _n in p["emit"]})
-            df = _prep_table(pa.Table.from_batches([rb]), p["steps"], p["key"],
+            t = pa.Table.from_batches([rb])
+            if p.get("derive") is not None:
+                # derived predicate columns (e.g. n_chars) computed HERE so
+                # heavy raw columns (text) never leave the replayer
+                t = p["derive"](t)
+            df = _prep_table(t, p["steps"], p["key"],
                              p["order"], p["ts_col"], emit_srcs).to_pandas()
             nulls = df.ts_us == _NEG_INF  # null event time (sentinel)
             if nulls.any():
@@ -2041,6 +2046,148 @@ class ParallelAbsenceRunner(_ParallelReplayBase):
         metrics = self._metrics(results, n_files)
         metrics["timeouts"] = int(len(timeouts))
         return timeouts, metrics
+
+
+@ray.remote(num_cpus=0.25)
+class KleeneBucketActor:
+    """Streaming Kleene-plus state for one hash bucket (the streaming form
+    of :func:`pipeflow_ray.stages.cep.match_kleene`, restricted to patterns
+    with ≥1 fixed prefix AND ≥1 fixed suffix step — then a candidate match
+    is decidable exactly when its LAST row seals: every boundary row that
+    determines run maximality is inside the span, and a sealed missing turn
+    can never arrive on time (per-key monotonic event time).
+
+    Emission: ``prev_wm ≤ end_ts < wm`` — each match's last row seals
+    exactly once. Retention: per key, everything after (and n_pre rows up
+    to) the last sealed *breaker* row — a sealed row that is non-B or
+    chain-broken, which no future run can cross."""
+
+    def __init__(self, n_pre: int, n_post: int, within_us: int | None,
+                 key: str = "conv_id", order: str = "turn_idx"):
+        if n_pre < 1 or n_post < 1:
+            raise ValueError("streaming Kleene needs >=1 fixed prefix and suffix step")
+        self.n_pre = n_pre
+        self.n_post = n_post
+        self.within_us = within_us
+        self.key = key
+        self.order = order
+        self.parts: list[pd.DataFrame] = []
+        self.carry: pd.DataFrame | None = None
+        self.prev_wm = -(1 << 62)
+        self.buf: list[pd.DataFrame] = []
+
+    def process(self, df: pd.DataFrame, watermark_us: int) -> None:
+        if len(df):
+            self.parts.append(df)
+
+    def evict(self, watermark_us: int) -> None:
+        from pipeflow_ray.stages.cep import scan_kleene
+
+        frames = self.parts
+        if self.carry is not None and len(self.carry):
+            frames = [self.carry, *frames]
+        self.parts = []
+        if not frames:
+            self.prev_wm = max(self.prev_wm, watermark_us)
+            return
+        df = pd.concat(frames, ignore_index=True)
+        df = df.sort_values([self.key, self.order], kind="mergesort").reset_index(drop=True)
+        matches = scan_kleene(df, self.n_pre, self.n_post, self.within_us,
+                              key=self.key, order=self.order, assume_sorted=True)
+        end_ts = matches.end_ts_us.to_numpy()
+        newly = matches[(end_ts < watermark_us) & (end_ts >= self.prev_wm)]
+        if len(newly):
+            self.buf.append(newly)
+        # retention: rows after the last sealed breaker per key (plus n_pre
+        # rows of context up to it); unsealed rows always stay
+        n = len(df)
+        conv = pd.factorize(df[self.key], sort=False)[0]
+        ti = df[self.order].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        bits = df["__bits"].to_numpy(np.uint32)
+        b = (bits & np.uint32(1 << self.n_pre)) != 0
+        sealed = ts < watermark_us
+        chained_next = np.zeros(n, dtype=bool)
+        if n > 1:
+            chained_next[:-1] = (conv[1:] == conv[:-1]) & (ti[1:] == ti[:-1] + 1)
+        breaker = sealed & (~b | ~chained_next)
+        nk = int(conv.max()) + 1 if n else 0
+        z = np.full(nk, -1, dtype=np.int64)
+        bidx = np.nonzero(breaker)[0]
+        if len(bidx):
+            np.maximum.at(z, conv[bidx], bidx)
+        keep = (~sealed) | (np.arange(n) > z[conv] - self.n_pre)
+        self.carry = df[keep].reset_index(drop=True)
+        self.prev_wm = max(self.prev_wm, watermark_us)
+
+    def flush(self) -> pd.DataFrame:
+        from pipeflow_ray.stages.cep import empty_kleene
+
+        self.evict(1 << 62)
+        parts = self.buf
+        self.buf = []
+        self.carry = None
+        if parts:
+            return pd.concat(parts, ignore_index=True)
+        return empty_kleene(self.key)
+
+    def state_size(self) -> int:
+        n = 0 if self.carry is None else len(self.carry)
+        return n + sum(len(p) for p in self.parts)
+
+
+class ParallelKleeneRunner(_ParallelReplayBase):
+    """Parallel-replay Kleene-plus CEP (reuses the ``cep`` replay mode; the
+    flattened steps travel as the bitmask). Equals the batch
+    :func:`match_kleene` scan under covered disorder (tested)."""
+
+    mode = "cep"
+
+    def __init__(self, steps, within_us: int | None = None,
+                 lateness_s: float = 3600.0, num_buckets: int = 8,
+                 max_replayers: int = 16, epoch_batches: int = 64,
+                 key: str = "conv_id", order: str = "turn_idx",
+                 ts_col: str = "ts", derive=None,
+                 read_columns: "list[str] | None" = None):
+        from pipeflow_ray.stages.cep import pattern_columns
+
+        super().__init__(lateness_s, num_buckets, max_replayers, epoch_batches)
+        plus_idx = [i for i, s in enumerate(steps)
+                    if isinstance(s, tuple) and len(s) == 2 and s[0] == "+"]
+        if len(plus_idx) != 1:
+            raise ValueError("ParallelKleeneRunner needs exactly one ('+', step)")
+        self.n_pre = plus_idx[0]
+        self.n_post = len(steps) - self.n_pre - 1
+        self.steps = [s[1] if i == self.n_pre else s for i, s in enumerate(steps)]
+        self.within_us = within_us
+        self.key = key
+        self.order = order
+        self.ts_col = ts_col
+        # derive: table→table hook run in the replayers BEFORE the step
+        # bitmask, for steps over derived columns (e.g. n_chars); pair it
+        # with read_columns naming the raw columns the derivation needs
+        self.derive = derive
+        self.columns = read_columns or pattern_columns(self.steps, (), key, order, ts_col)
+
+    def _params(self) -> dict:
+        return {"steps": self.steps, "within_us": self.within_us, "emit": (),
+                "key": self.key, "order": self.order, "ts_col": self.ts_col,
+                "columns": self.columns, "derive": self.derive}
+
+    def _make_bucket_actor(self):
+        return KleeneBucketActor.remote(self.n_pre, self.n_post, self.within_us,
+                                        key=self.key, order=self.order)
+
+    def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
+        from pipeflow_ray.stages.cep import empty_kleene
+
+        actors, results, n_files = self._replay_all(parquet_path, micro_batch_rows)
+        out = [f for f in ray.get([self._collect(a) for a in actors]) if len(f)]
+        matches = (pd.concat(out, ignore_index=True) if out
+                   else empty_kleene(self.key))
+        metrics = self._metrics(results, n_files)
+        metrics["matches"] = int(len(matches))
+        return matches, metrics
 
 
 class ParallelCheckpointingCepRunner(_ParallelCheckpointMixin, ParallelCepRunner):

@@ -385,3 +385,50 @@ def test_match_kleene_dataset(transcripts_table):
     assert len(got) > 0
     assert (got.end_turn_idx - got.start_turn_idx == got.run_len + 1).all()
     assert got.run_len.max() >= 2  # genuinely variable-length matches
+
+
+def test_parallel_kleene_equals_batch(tmp_path):
+    """Streaming maximal-run matching (emit when the last row seals; breaker
+    retention) equals the batch Kleene scan under covered disorder."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from pipeflow_ray.fixtures import gen_transcripts
+    from pipeflow_ray.pipelines.streaming import ParallelKleeneRunner
+    from pipeflow_ray.stages.cep import match_kleene
+
+    t = gen_transcripts(4000)
+    shard_dir = str(tmp_path / "shards")
+    os.makedirs(shard_dir)
+    per = (t.num_rows + 4) // 5
+    for k in range(5):
+        _pq.write_table(t.slice(k * per, per),
+                        os.path.join(shard_dir, f"part-{k:05d}.parquet"))
+
+    steps = [{"nc": (">=", 1000)}, ("+", {"nc": ("<", 300)}), {"nc": (">=", 1000)}]
+
+    def _derive(tbl):
+        return tbl.append_column(
+            "nc", pc.utf8_length(pc.fill_null(tbl["text"], "")).cast(pa.int64()))
+
+    got, metrics = ParallelKleeneRunner(
+        steps, within_us=1_800_000_000, lateness_s=6 * 3600.0, num_buckets=4,
+        epoch_batches=2, derive=_derive,
+        read_columns=["conv_id", "turn_idx", "text", "ts"],
+    ).run(shard_dir, micro_batch_rows=256)
+    assert metrics["late_rows"] == 0 and metrics["rows"] == t.num_rows
+    key = ["conv_id", "start_turn_idx"]
+    got = got.sort_values(key).reset_index(drop=True)
+    assert not got.duplicated(key).any()
+
+    batch_ds = ray.data.from_arrow(_derive(t).select(["conv_id", "turn_idx", "ts", "nc"]))
+    ref = (
+        match_kleene(batch_ds, steps, within_us=1_800_000_000)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    assert len(ref) > 0 and ref.run_len.max() >= 2
+    pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
