@@ -45,6 +45,43 @@ def main():
           f"(rows={metrics['rows']}, late={metrics['late_rows']})")
     assert len(stream) == len(batch)
 
+    # --- negation (CEP timers): user turns with NO in-time response
+    from pipeflow_ray.pipelines.streaming import ParallelAbsenceRunner
+    from pipeflow_ray.stages.cep import match_absence
+
+    trigger, response = {"role": "user"}, {"role": ["assistant", "tool"]}
+    ds = ray.data.read_parquet(tp, columns=["conv_id", "turn_idx", "role", "ts"])
+    t_batch = match_absence(ds, trigger, response, within_us=within_us).to_pandas()
+    t_stream, tm = ParallelAbsenceRunner(
+        trigger, response, within_us=within_us, lateness_s=3 * 3600.0
+    ).run(tp)
+    print(f"timeouts: batch {len(t_batch)} / streaming {tm['timeouts']} "
+          f"(reasons: {sorted(t_batch.reason.unique())})")
+    assert len(t_batch) == len(t_stream)
+
+    # --- Kleene-plus: long turn, one-or-more short turns, long turn
+    import pyarrow as pa
+    import pyarrow.compute as pc_
+
+    from pipeflow_ray.pipelines.streaming import ParallelKleeneRunner
+    from pipeflow_ray.stages.cep import match_kleene
+
+    def derive_nc(t):
+        return t.append_column(
+            "nc", pc_.utf8_length(pc_.fill_null(t["text"], "")).cast(pa.int64()))
+
+    ksteps = [{"nc": (">=", 1000)}, ("+", {"nc": ("<", 300)}), {"nc": (">=", 1000)}]
+    kds = ray.data.read_parquet(tp, columns=["conv_id", "turn_idx", "text", "ts"]) \
+        .map_batches(derive_nc, batch_format="pyarrow")
+    k_batch = match_kleene(kds, ksteps, within_us=1_800_000_000).to_pandas()
+    k_stream, km = ParallelKleeneRunner(
+        ksteps, within_us=1_800_000_000, lateness_s=3 * 3600.0,
+        derive=derive_nc, read_columns=["conv_id", "turn_idx", "text", "ts"],
+    ).run(tp)
+    print(f"kleene runs: batch {len(k_batch)} / streaming {km['matches']} "
+          f"(max run_len {int(k_batch.run_len.max()) if len(k_batch) else 0})")
+    assert len(k_batch) == len(k_stream)
+
     # --- checkpointed streaming: epoch barriers commit matches exactly-once
     # and snapshot the partial-match tails; a re-run resumes (or no-ops)
     out = tempfile.mkdtemp(prefix="cep_ck_")
