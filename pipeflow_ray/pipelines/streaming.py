@@ -2002,6 +2002,29 @@ class AbsenceBucketActor:
         n = 0 if self.carry is None else len(self.carry)
         return n + sum(len(p) for p in self.parts)
 
+    # --- checkpoint support (decided triggers leave the state, so resume
+    # cannot re-emit; no watermark counter to persist) ---
+
+    def drain(self) -> pd.DataFrame:
+        from pipeflow_ray.stages.cep import empty_absence
+
+        parts = self.buf
+        self.buf = []
+        if parts:
+            return pd.concat(parts, ignore_index=True)
+        return empty_absence(self.key)
+
+    def dump_state(self) -> pd.DataFrame:
+        if self.carry is not None and len(self.carry):
+            return self.carry
+        base = pd.DataFrame({c: [] for c in (self.key, self.order, "ts_us", "__bits")})
+        base["ts_us"] = base["ts_us"].astype(np.int64)
+        base["__bits"] = base["__bits"].astype(np.uint32)
+        return base
+
+    def load_state(self, df: pd.DataFrame) -> None:
+        self.carry = df.reset_index(drop=True)
+
 
 class ParallelAbsenceRunner(_ParallelReplayBase):
     """Parallel-replay absence/timeout detection. Reuses the ``cep`` replay
@@ -2135,6 +2158,32 @@ class KleeneBucketActor:
         n = 0 if self.carry is None else len(self.carry)
         return n + sum(len(p) for p in self.parts)
 
+    # --- checkpoint support. prev_wm needs no persistence: no complete
+    # match can exist entirely inside the retained sealed context (a sealed
+    # non-B post row after a retained run would itself be a breaker,
+    # contradicting the breaker retention rule), so resume with −inf cannot
+    # re-emit. ---
+
+    def drain(self) -> pd.DataFrame:
+        from pipeflow_ray.stages.cep import empty_kleene
+
+        parts = self.buf
+        self.buf = []
+        if parts:
+            return pd.concat(parts, ignore_index=True)
+        return empty_kleene(self.key)
+
+    def dump_state(self) -> pd.DataFrame:
+        if self.carry is not None and len(self.carry):
+            return self.carry
+        base = pd.DataFrame({c: [] for c in (self.key, self.order, "ts_us", "__bits")})
+        base["ts_us"] = base["ts_us"].astype(np.int64)
+        base["__bits"] = base["__bits"].astype(np.uint32)
+        return base
+
+    def load_state(self, df: pd.DataFrame) -> None:
+        self.carry = df.reset_index(drop=True)
+
 
 class ParallelKleeneRunner(_ParallelReplayBase):
     """Parallel-replay Kleene-plus CEP (reuses the ``cep`` replay mode; the
@@ -2212,6 +2261,46 @@ class ParallelCheckpointingCepRunner(_ParallelCheckpointMixin, ParallelCepRunner
         for _off, _src, name in self.emit:
             fields.append((name, (emit_types or {}).get(name, pa.string())))
         self._emit_schema = pa.schema(fields)
+
+    def run(self, parquet_path: str, out_dir: str, micro_batch_rows: int = 65_536,
+            checkpoint_every: int = 10, stop_after_epochs: int | None = None):
+        return self._run_checkpointed(parquet_path, out_dir, micro_batch_rows,
+                                      checkpoint_every, stop_after_epochs)
+
+
+class ParallelCheckpointingAbsenceRunner(_ParallelCheckpointMixin, ParallelAbsenceRunner):
+    """Checkpointed streaming timeout detection: the epoch recipe over the
+    absence actor's trigger state (decided triggers leave the state, so
+    resume cannot re-emit; the snapshot is just the undecided tail)."""
+
+    _kind = "absence-checkpoint"
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._emit_schema = pa.schema([
+            (self.key, pa.string()), ("start_turn_idx", pa.int64()),
+            ("ts_us", pa.int64()), ("reason", pa.string()),
+        ])
+
+    def run(self, parquet_path: str, out_dir: str, micro_batch_rows: int = 65_536,
+            checkpoint_every: int = 10, stop_after_epochs: int | None = None):
+        return self._run_checkpointed(parquet_path, out_dir, micro_batch_rows,
+                                      checkpoint_every, stop_after_epochs)
+
+
+class ParallelCheckpointingKleeneRunner(_ParallelCheckpointMixin, ParallelKleeneRunner):
+    """Checkpointed streaming Kleene-plus: epoch recipe over the breaker-
+    retained run state (see KleeneBucketActor's prev_wm-free resume note)."""
+
+    _kind = "kleene-checkpoint"
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._emit_schema = pa.schema([
+            (self.key, pa.string()), ("start_turn_idx", pa.int64()),
+            ("end_turn_idx", pa.int64()), ("start_ts_us", pa.int64()),
+            ("end_ts_us", pa.int64()), ("run_len", pa.int64()),
+        ])
 
     def run(self, parquet_path: str, out_dir: str, micro_batch_rows: int = 65_536,
             checkpoint_every: int = 10, stop_after_epochs: int | None = None):

@@ -432,3 +432,65 @@ def test_parallel_kleene_equals_batch(tmp_path):
     )
     assert len(ref) > 0 and ref.run_len.max() >= 2
     pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
+
+
+@pytest.mark.parametrize("which", ["absence", "kleene"])
+def test_parallel_checkpoint_absence_kleene_crash_resume(tmp_path, which):
+    """Crash+resume equals the uninterrupted run and the plain runner for
+    the absence and Kleene checkpointing variants."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    from pipeflow_ray.fixtures import gen_transcripts
+    from pipeflow_ray.pipelines.streaming import (
+        ParallelAbsenceRunner,
+        ParallelCheckpointingAbsenceRunner,
+        ParallelCheckpointingKleeneRunner,
+        ParallelKleeneRunner,
+    )
+    from pipeflow_ray.state.manifest import read_committed
+
+    t = gen_transcripts(4000)
+    shard_dir = str(tmp_path / "shards")
+    os.makedirs(shard_dir)
+    per = (t.num_rows + 4) // 5
+    for k in range(5):
+        _pq.write_table(t.slice(k * per, per),
+                        os.path.join(shard_dir, f"part-{k:05d}.parquet"))
+
+    def _derive(tbl):
+        return tbl.append_column(
+            "nc", pc.utf8_length(pc.fill_null(tbl["text"], "")).cast(pa.int64()))
+
+    if which == "absence":
+        args = ({"role": "user"}, {"role": ["assistant", "tool"]})
+        kw = dict(within_us=600_000_000, lateness_s=6 * 3600.0, num_buckets=4)
+        mk_ck = lambda: ParallelCheckpointingAbsenceRunner(*args, **kw)  # noqa: E731
+        mk_plain = lambda: ParallelAbsenceRunner(*args, **kw)  # noqa: E731
+        key = ["conv_id", "start_turn_idx"]
+    else:
+        steps = [{"nc": (">=", 1000)}, ("+", {"nc": ("<", 300)}), {"nc": (">=", 1000)}]
+        kw = dict(within_us=1_800_000_000, lateness_s=6 * 3600.0, num_buckets=4,
+                  derive=_derive, read_columns=["conv_id", "turn_idx", "text", "ts"])
+        mk_ck = lambda: ParallelCheckpointingKleeneRunner(steps, **kw)  # noqa: E731
+        mk_plain = lambda: ParallelKleeneRunner(steps, **kw)  # noqa: E731
+        key = ["conv_id", "start_turn_idx"]
+
+    rkw = dict(micro_batch_rows=256, checkpoint_every=1)
+    full_dir = str(tmp_path / "full")
+    assert mk_ck().run(shard_dir, full_dir, **rkw) is not None
+    full = read_committed(full_dir).to_pandas().sort_values(key).reset_index(drop=True)
+
+    crash_dir = str(tmp_path / "crash")
+    assert mk_ck().run(shard_dir, crash_dir, stop_after_epochs=2, **rkw) is None
+    assert mk_ck().run(shard_dir, crash_dir, **rkw) is not None
+    resumed = read_committed(crash_dir).to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(resumed, full)
+    assert not resumed.duplicated(key).any() and len(resumed) > 0
+
+    plain, _m = mk_plain().run(shard_dir, micro_batch_rows=256)
+    plain = plain.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(resumed, plain.astype(resumed.dtypes.to_dict()))
