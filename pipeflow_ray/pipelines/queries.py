@@ -878,6 +878,45 @@ def streaming_cep_pattern(sf_dir):
     return matches
 
 
+_CEP_MULTI_SQL = f"""WITH s AS (
+      SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS ts_us,
+             lead(role, 1) OVER w AS role1, lead(role, 2) OVER w AS role2,
+             lead(tool, 1) OVER w AS tool1,
+             lead(turn_idx, 2) OVER w AS ti2, lead(epoch_us(ts), 2) OVER w AS ts2
+      FROM read_parquet('{_TP001}')
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+    SELECT conv_id, 'utu' AS pattern, CAST(turn_idx AS BIGINT) AS start_turn_idx,
+           CAST(ti2 AS BIGINT) AS end_turn_idx, CAST(ts_us AS BIGINT) AS start_ts_us,
+           CAST(ts2 AS BIGINT) AS end_ts_us, tool1 AS tool
+    FROM s WHERE role = 'user' AND role1 = 'tool' AND role2 = 'user'
+      AND ti2 = turn_idx + 2 AND ts2 - ts_us BETWEEN 0 AND 600000000
+    UNION ALL
+    SELECT conv_id, 'uau', CAST(turn_idx AS BIGINT), CAST(ti2 AS BIGINT),
+           CAST(ts_us AS BIGINT), CAST(ts2 AS BIGINT), NULL
+    FROM s WHERE role = 'user' AND role1 = 'assistant' AND role2 = 'user'
+      AND ti2 = turn_idx + 2 AND ts2 - ts_us BETWEEN 0 AND 300000000"""
+
+
+@q("cep_multi_turns", _CEP_MULTI_SQL)
+def cep_multi_turns(sf_dir):
+    """Pattern LIBRARY in one pass: two sequence patterns (user→tool→user
+    ≤10 min emitting the tool; user→assistant→user ≤5 min) share one prep
+    and ONE conv_id exchange — N patterns cost one shuffle, not N
+    (stages/cep.match_many)."""
+    from pipeflow_ray.stages.cep import match_many, pattern_columns
+
+    pats = {
+        "utu": {"steps": [{"role": "user"}, {"role": "tool"}, {"role": "user"}],
+                "within_us": 600_000_000, "emit": ((1, "tool", "tool"),)},
+        "uau": {"steps": [{"role": "user"}, {"role": "assistant"}, {"role": "user"}],
+                "within_us": 300_000_000},
+    }
+    cols = sorted({c for p in pats.values() for c in
+                   pattern_columns(p["steps"], p.get("emit", ()))})
+    ds = ray.data.read_parquet(_tp(sf_dir), columns=cols)
+    return match_many(ds, pats)
+
+
 _CEP_KLEENE_SQL = f"""WITH r AS (
       SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us,
              length(coalesce(text, '')) AS nc

@@ -506,3 +506,71 @@ def match_kleene(
     return grouped_by_bucket(
         pruned, [key], kernel, num_buckets=num_buckets, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-pattern single-pass matching: a PATTERN LIBRARY evaluated over ONE
+# prep + ONE key exchange — at corpus scale N patterns cost one shuffle,
+# not N (the per-pattern work is a few shifted ANDs on the already-sorted
+# bucket).
+# ---------------------------------------------------------------------------
+
+
+def _bucket_scan_many(df, plan, key, order):
+    df = df.sort_values([key, order], kind="mergesort").reset_index(drop=True)
+    bits_all = df["__bits"].to_numpy(dtype=np.uint32)
+    outs = []
+    for name, (offset, k, within_us, emit) in plan.items():
+        sub = df.copy()
+        sub["__bits"] = bits_all >> np.uint32(offset)
+        m = scan_matches(sub, k, within_us, emit, key=key, order=order,
+                         assume_sorted=True)
+        m.insert(1, "pattern", name)
+        outs.append(m)
+    all_emit_names = sorted({nm for _o, _k, _w, em in plan.values() for *_x, nm in em})
+    for m in outs:
+        for nm in all_emit_names:
+            if nm not in m.columns:
+                m[nm] = None
+    cols = [key, "pattern", "start_turn_idx", "end_turn_idx",
+            "start_ts_us", "end_ts_us", *all_emit_names]
+    return pd.concat([m[cols] for m in outs], ignore_index=True)
+
+
+def match_many(
+    ds,
+    patterns: dict,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    ts_col: str = "ts",
+    num_buckets: int | None = None,
+):
+    """Evaluate a library of fixed-sequence patterns in ONE pass.
+
+    *patterns*: ``{name: {"steps": [...], "within_us": int|None,
+    "emit": tuple}}``. All patterns' step bitmasks pack into the single
+    uint32 (≤32 steps total); one prep stage, one key exchange, then each
+    bucket scans every pattern on its already-sorted rows. Output adds a
+    ``pattern`` column; emit columns are unioned (null where a pattern does
+    not emit them).
+    """
+    flat_steps = []
+    plan: dict = {}
+    emit_srcs: set = set()
+    for name, spec in patterns.items():
+        steps = spec["steps"]
+        emit = tuple(spec.get("emit", ()))
+        plan[name] = (len(flat_steps), len(steps), spec.get("within_us"), emit)
+        flat_steps.extend(steps)
+        emit_srcs |= {src for _o, src, _n in emit}
+    if len(flat_steps) > MAX_STEPS:
+        raise ValueError(f"pattern library exceeds {MAX_STEPS} total steps")
+    prep = functools.partial(
+        _prep_table, steps=flat_steps, key=key, order=order, ts_col=ts_col,
+        emit_srcs=sorted(emit_srcs),
+    )
+    pruned = ds.map_batches(prep, batch_format="pyarrow")
+    kernel = functools.partial(_bucket_scan_many, plan=plan, key=key, order=order)
+    return grouped_by_bucket(
+        pruned, [key], kernel, num_buckets=num_buckets, batch_format="pandas"
+    )

@@ -494,3 +494,33 @@ def test_parallel_checkpoint_absence_kleene_crash_resume(tmp_path, which):
     plain, _m = mk_plain().run(shard_dir, micro_batch_rows=256)
     plain = plain.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(resumed, plain.astype(resumed.dtypes.to_dict()))
+
+
+def test_match_many_equals_individual(transcripts_table):
+    """One-pass pattern library ≡ per-pattern match_pattern runs."""
+    import ray.data
+
+    from pipeflow_ray.stages.cep import match_many, match_pattern, pattern_columns
+
+    pats = {
+        "utu": {"steps": [{"role": "user"}, {"role": "tool"}, {"role": "user"}],
+                "within_us": 600_000_000, "emit": ((1, "tool", "tool"),)},
+        "ua": {"steps": [{"role": "user"}, {"role": "assistant"}],
+               "within_us": 120_000_000},
+    }
+    cols = sorted({c for p in pats.values()
+                   for c in pattern_columns(p["steps"], p.get("emit", ()))})
+    ds = ray.data.from_arrow(transcripts_table.select(cols))
+    combo = match_many(ds, pats).to_pandas()
+    assert set(combo.pattern) == {"utu", "ua"}
+    key = ["conv_id", "start_turn_idx"]
+    for name, spec in pats.items():
+        solo = match_pattern(
+            ray.data.from_arrow(transcripts_table.select(cols)), spec["steps"],
+            within_us=spec["within_us"], emit=tuple(spec.get("emit", ())),
+        ).to_pandas().sort_values(key).reset_index(drop=True)
+        part = combo[combo.pattern == name].drop(columns=["pattern"]) \
+            .dropna(axis=1, how="all").sort_values(key).reset_index(drop=True)
+        assert len(solo) > 0
+        pd.testing.assert_frame_equal(
+            part[solo.columns], solo, check_dtype=False)
