@@ -173,3 +173,47 @@ def test_winnow_fingerprint_reference_property(texts, k, w):
         for v in ref:
             acc ^= np.uint64(v)
         assert out["fp_xor"][i].as_py() == acc.view(np.int64).item()
+
+
+@st.composite
+def cep_frames(draw):
+    """Random keyed ordered event frames: several convs, dense-or-gappy
+    turn indices, nondecreasing per-conv event time, 3 roles."""
+    import pandas as pd
+
+    n = draw(st.integers(5, 120))
+    convs = draw(st.lists(st.integers(0, 4), min_size=n, max_size=n))
+    roles = draw(st.lists(st.sampled_from(["user", "assistant", "tool"]),
+                          min_size=n, max_size=n))
+    gaps = draw(st.lists(st.integers(0, 2), min_size=n, max_size=n))
+    incs = draw(st.lists(st.integers(1, 400), min_size=n, max_size=n))
+    df = pd.DataFrame({"conv_id": [f"c{c}" for c in convs], "role": roles})
+    base = df.groupby("conv_id").cumcount()
+    df["turn_idx"] = (base + pd.Series(gaps).groupby(df.conv_id).cumsum()).astype("int64")
+    df["ts_us"] = (pd.Series(incs) * 1_000_000).groupby(df.conv_id).cumsum().astype("int64")
+    return df
+
+
+@given(cep_frames(), st.integers(0, 2))
+@_settings
+def test_cep_scan_matches_property(df, case):
+    """scan_matches ≡ the row-at-a-time reference on arbitrary frames
+    (pure-kernel property — no Ray tasks per example)."""
+    from pipeflow_ray.stages.cep import compute_step_bits, scan_matches
+    from tests.test_cep import _brute_force
+
+    cases = [
+        ([{"role": "user"}, {"role": "tool"}], 300_000_000, ()),
+        ([{"role": "user"}, {"role": ["assistant", "tool"]}], None, ()),
+        ([{"role": "user"}, {"role": "assistant"}, {"role": "user"}], 500_000_000, ()),
+    ]
+    steps, within, emit = cases[case]
+    d = df.copy()
+    d["__bits"] = compute_step_bits(d, steps)
+    got = scan_matches(d, len(steps), within, emit).sort_values(
+        ["conv_id", "start_turn_idx"]).reset_index(drop=True)
+    ref = _brute_force(df, steps, within, emit).sort_values(
+        ["conv_id", "start_turn_idx"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
