@@ -878,6 +878,38 @@ def streaming_cep_pattern(sf_dir):
     return matches
 
 
+def _derive_nc_value(t: pa.Table) -> pa.Table:
+    """Replayer-side derivation for the streaming quantile runner."""
+    return t.append_column(
+        "value", pc.utf8_length(pc.fill_null(t["text"], "")).cast(pa.int64())
+    )
+
+
+@q(
+    "streaming_quantiles_transcripts",
+    f"""SELECT role,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(quantile_disc(length(coalesce(text, '')), 0.25) AS BIGINT) AS p25,
+               CAST(quantile_disc(length(coalesce(text, '')), 0.50) AS BIGINT) AS p50,
+               CAST(quantile_disc(length(coalesce(text, '')), 0.75) AS BIGINT) AS p75
+        FROM read_parquet('{_TP001}') GROUP BY role""",
+)
+def streaming_quantiles_transcripts(sf_dir):
+    """STREAMING exact grouped quantiles (aggregate-on-ingest): per-role
+    turn-length quartiles in ONE pass — per-batch (key, value)→count
+    combiners in the replayers, commutative histogram merge in bucket
+    actors, per-bucket percentile_disc readout at flush
+    (pipelines/streaming.StreamingQuantileRunner)."""
+    from pipeflow_ray.pipelines.streaming import StreamingQuantileRunner
+
+    runner = StreamingQuantileRunner(
+        "role", qs=(0.25, 0.5, 0.75), value_fn=_derive_nc_value,
+        columns=["role", "text"], num_buckets=4,
+    )
+    result, _metrics = runner.run(_tp(sf_dir))
+    return result
+
+
 _CEP_MULTI_SQL = f"""WITH s AS (
       SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS ts_us,
              lead(role, 1) OVER w AS role1, lead(role, 2) OVER w AS role2,

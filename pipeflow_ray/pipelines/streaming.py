@@ -2308,6 +2308,126 @@ class ParallelCheckpointingKleeneRunner(_ParallelCheckpointMixin, ParallelKleene
                                       checkpoint_every, stop_after_epochs)
 
 
+@ray.remote(num_cpus=0.25)
+class QuantileBucketActor:
+    """Value-histogram state for one hash bucket of keys: ``(key, value) →
+    count``. State is O(keys × distinct values) ints — EXACT quantiles at
+    any flush for bounded-cardinality value domains, in one pass (the
+    aggregate sibling of dedup-on-ingest's fingerprint state)."""
+
+    def __init__(self):
+        self.counts: dict[tuple, int] = {}
+
+    def process(self, partials: pd.DataFrame) -> None:
+        counts = self.counts
+        for key, value, c in partials.itertuples(index=False, name=None):
+            kv = (key, value)
+            counts[kv] = counts.get(kv, 0) + int(c)
+
+    def flush(self) -> pd.DataFrame:
+        ks, vs, cs = [], [], []
+        for (k, v), c in self.counts.items():
+            ks.append(k)
+            vs.append(v)
+            cs.append(c)
+        return pd.DataFrame({"key": ks, "value": np.asarray(vs, np.int64),
+                             "__cnt": np.asarray(cs, np.int64)})
+
+    def flush_quantiles(self, qs: tuple, out_names: list) -> pd.DataFrame:
+        """Per-bucket quantile readout: keys are hash-partitioned, so each
+        bucket's histogram is complete for its keys — the driver receives
+        O(keys) final rows, never the histograms."""
+        from pipeflow_ray.stages.window import _quantile_reduce
+
+        hist = self.flush()
+        if not len(hist):
+            return hist
+        return _quantile_reduce(hist, ["key"], "value", qs, list(out_names), "n")
+
+
+@ray.remote(num_cpus=0.5)
+def _replay_quantile_shard(files: list, key_col: str, value_fn,
+                           micro_batch_rows: int, columns: list, *buckets) -> int:
+    """Stream one shard group: decode → derive (key, int value) per row →
+    per-batch (key, value)→count partials (the combiner) → route to bucket
+    histogram actors. Module-level task, explicit args (long-session rule);
+    the caller passes value_fn as a top-level ``ray.put`` ref, which Ray
+    resolves to the function before the task body runs."""
+    nb = len(buckets)
+    rows = 0
+    pending: list = []
+    for f in files:
+        for rb in pq.ParquetFile(str(f)).iter_batches(
+            batch_size=micro_batch_rows, columns=columns
+        ):
+            t = pa.Table.from_batches([rb])
+            if value_fn is not None:
+                t = value_fn(t)
+            df = pd.DataFrame({"key": t[key_col].to_pandas(),
+                               "value": t["value"].to_pandas().astype(np.int64)})
+            rows += len(df)
+            partials = (df.groupby(["key", "value"], sort=False)
+                        .size().reset_index(name="c"))
+            b = pd.util.hash_array(partials.key.to_numpy(dtype=object)) % nb
+            pending.extend(
+                buckets[k].process.remote(partials[b == k])
+                for k in range(nb) if (b == k).any()
+            )
+            if len(pending) > 256:
+                ray.get(pending)
+                pending = []
+    if pending:
+        ray.get(pending)
+    return rows
+
+
+class StreamingQuantileRunner:
+    """Single-pass streaming EXACT grouped quantiles: shard replayers reduce
+    each micro-batch to (key, value)→count partials, bucketed histogram
+    actors merge them commutatively (shard interleaving cannot change a
+    histogram), and the flush reads quantiles off cumulative counts with
+    the same percentile_disc rule as the batch
+    :func:`~pipeflow_ray.stages.window.grouped_quantiles` — equal results
+    in one pass with histogram-only state, available mid-stream at any
+    barrier."""
+
+    def __init__(self, key_col: str, qs=(0.25, 0.5, 0.75), value_fn=None,
+                 columns: "list[str] | None" = None,
+                 num_buckets: int = 8, max_replayers: int = 16):
+        self.key_col = key_col
+        self.qs = tuple(qs)
+        # value_fn: table→table adding an int64 ``value`` column (derived
+        # inside the replayers); columns: raw columns the derivation needs
+        self.value_fn = value_fn
+        self.columns = columns or [key_col, "value"]
+        self.num_buckets = num_buckets
+        self.max_replayers = max_replayers
+
+    def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
+        files = _shard_files(parquet_path)
+        groups = _shard_groups(files, self.max_replayers)
+        actors = [QuantileBucketActor.remote() for _ in range(self.num_buckets)]
+        fn_ref = ray.put(self.value_fn) if self.value_fn is not None else None
+        rows = ray.get([
+            _replay_quantile_shard.remote(g, self.key_col, fn_ref,
+                                          micro_batch_rows, self.columns, *actors)
+            for g in groups
+        ])
+        out_names = [f"p{int(round(q * 100)):02d}" for q in self.qs]
+        parts = [f for f in ray.get([
+            a.flush_quantiles.remote(self.qs, out_names) for a in actors
+        ]) if len(f)]
+        if parts:
+            result = pd.concat(parts, ignore_index=True) \
+                .rename(columns={"key": self.key_col})
+        else:
+            result = pd.DataFrame(columns=[self.key_col, "n", *out_names])
+        metrics = {"rows": int(sum(rows)), "keys": int(len(result)),
+                   "shards": len(files), "replayers": len(groups),
+                   "replayer_rows": [int(r) for r in rows]}
+        return result, metrics
+
+
 # ---------------------------------------------------------------------------
 # Streaming exact dedup: single-pass dedup-on-ingest with bounded state
 # ---------------------------------------------------------------------------

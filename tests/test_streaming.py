@@ -448,3 +448,47 @@ def test_streaming_dedup_equals_batch_across_shards(tmp_path):
                   "text": [r[1] for r in all_rows]})))
     want = sorted(batch.to_pandas().doc_id.tolist())
     assert sorted(kept.doc_id.tolist()) == want
+
+
+def test_streaming_quantiles_equal_batch(tmp_path):
+    """Dedup-on-ingest's aggregate sibling: single-pass streaming histogram
+    quantiles equal the batch grouped_quantiles across shard interleavings."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from pipeflow_ray.fixtures import gen_transcripts
+    from pipeflow_ray.pipelines.streaming import StreamingQuantileRunner
+    from pipeflow_ray.stages.window import grouped_quantiles
+
+    t = gen_transcripts(3000)
+    shard_dir = str(tmp_path / "shards")
+    os.makedirs(shard_dir)
+    per = (t.num_rows + 3) // 4
+    for k in range(4):
+        _pq.write_table(t.slice(k * per, per),
+                        os.path.join(shard_dir, f"part-{k:05d}.parquet"))
+
+    def _derive(tbl):
+        return tbl.append_column(
+            "value", pc.utf8_length(pc.fill_null(tbl["text"], "")).cast(pa.int64()))
+
+    got, metrics = StreamingQuantileRunner(
+        "role", qs=(0.25, 0.5, 0.75), value_fn=_derive,
+        columns=["role", "text"], num_buckets=3,
+    ).run(shard_dir, micro_batch_rows=128)
+    assert metrics["rows"] == t.num_rows
+    got = got.sort_values("role").reset_index(drop=True)
+
+    ds = ray.data.from_arrow(_derive(t).select(["role", "value"]))
+    ref = (
+        grouped_quantiles(ds, ["role"], "value", qs=(0.25, 0.5, 0.75))
+        .to_pandas().rename(columns={"role": "role"})
+        .sort_values("role").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[ref.columns], ref.astype(got[ref.columns].dtypes.to_dict()))
