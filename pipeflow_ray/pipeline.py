@@ -444,6 +444,23 @@ class Pipeline:
                                          within_us=within_us, key=key,
                                          order=order, ts_col=ts_col))
 
+    def match_kleene(self, steps, within_us: int | None = None,
+                     key: str = "conv_id", order: str = "turn_idx",
+                     ts_col: str = "ts") -> "Pipeline":
+        """CEP Kleene-plus: [pre…, ('+', step), post…] maximal runs."""
+        from pipeflow_ray.stages.cep import match_kleene
+
+        return self._chain(match_kleene(self._ds, steps, within_us=within_us,
+                                        key=key, order=order, ts_col=ts_col))
+
+    def match_many(self, patterns: dict, key: str = "conv_id",
+                   order: str = "turn_idx", ts_col: str = "ts") -> "Pipeline":
+        """CEP pattern library in one pass (one shuffle for N patterns)."""
+        from pipeflow_ray.stages.cep import match_many
+
+        return self._chain(match_many(self._ds, patterns, key=key, order=order,
+                                      ts_col=ts_col))
+
     def window_functions(self, key: str, order: str, specs: dict) -> "Pipeline":
         """Per-key ordered analytics (lag/lead/diff/cumsum/rank/…)."""
         from pipeflow_ray.stages.window import keyed_window_functions

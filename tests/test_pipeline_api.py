@@ -151,3 +151,32 @@ def test_fluent_cep_join_analytics_surface(transcripts_table):
     right = Pipeline.from_pandas(pd.DataFrame({"b": [2, 9]}))
     assert sorted(left.join_semi(right, "a", "b").to_pandas().a) == [2]
     assert sorted(left.join_anti(right, "a", "b").to_pandas().a) == [1, 3]
+
+
+def test_fluent_kleene_and_many(transcripts_table):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pipeflow_ray.pipeline import Pipeline
+
+    t = transcripts_table.append_column(
+        "nc", pc.utf8_length(pc.fill_null(transcripts_table["text"], "")).cast(pa.int64())
+    )
+    runs = (
+        Pipeline.from_arrow(t.select(["conv_id", "turn_idx", "ts", "nc"]))
+        .match_kleene([{"nc": (">=", 1000)}, ("+", {"nc": ("<", 300)}),
+                       {"nc": (">=", 1000)}], within_us=1_800_000_000)
+        .to_pandas()
+    )
+    assert len(runs) > 0 and "run_len" in runs.columns
+
+    combo = (
+        Pipeline.from_arrow(t.select(["conv_id", "turn_idx", "role", "tool", "ts"]))
+        .match_many({
+            "utu": {"steps": [{"role": "user"}, {"role": "tool"}, {"role": "user"}],
+                    "within_us": 600_000_000, "emit": ((1, "tool", "tool"),)},
+            "ua": {"steps": [{"role": "user"}, {"role": "assistant"}]},
+        })
+        .to_pandas()
+    )
+    assert set(combo.pattern) == {"utu", "ua"}
