@@ -446,3 +446,73 @@ def contamination_check(blocklist_ref, k: int = 3, text_col: str = "text",
         )
 
     return _apply
+
+
+_BLOOM_ODD = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5], dtype=np.uint64)
+
+
+def build_ngram_bloom(texts, k: int = 3, bits_per_gram: int = 16,
+                      n_hashes: int = 4) -> dict:
+    """Bloom filter over a blocklist's k-token n-grams — the scale path for
+    decontamination when the exact gram set is too large to broadcast (a
+    10^9-gram eval-suite blocklist is ~100 GB of strings but ~2 GB of bloom
+    bits at 16 bits/gram). Deterministic: grams hash via the same stable
+    64-bit hash as the exact path, positions via odd-multiplier
+    multiply-shift.
+
+    Membership is APPROXIMATE one-sided: no false negatives; false-positive
+    rate ≈ (1 − e^{−k/bits_per_gram·n})^n ≈ 0.2% at 16 bits / 4 hashes
+    (asserted in tests). Use the exact set when it fits."""
+    grams = build_ngram_blocklist(texts, k)
+    n = max(1, len(grams))
+    log2m = max(8, int(np.ceil(np.log2(n * bits_per_gram))))
+    m = 1 << log2m
+    bits = np.zeros(m >> 6, dtype=np.uint64)
+    h = pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.uint64)
+    for j in range(n_hashes):
+        pos = (h * _BLOOM_ODD[j]) >> np.uint64(64 - log2m)
+        np.bitwise_or.at(bits, pos >> np.uint64(6),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    return {"bits": bits, "log2m": log2m, "n_hashes": n_hashes, "k": k}
+
+
+def _bloom_contains(bloom: dict, grams: pd.Series) -> np.ndarray:
+    if not len(grams):
+        return np.zeros(0, dtype=bool)
+    h = pd.util.hash_array(grams.to_numpy(dtype=object)).astype(np.uint64)
+    log2m = bloom["log2m"]
+    bits = bloom["bits"]
+    hit = np.ones(len(h), dtype=bool)
+    for j in range(bloom["n_hashes"]):
+        pos = (h * _BLOOM_ODD[j]) >> np.uint64(64 - log2m)
+        hit &= ((bits[pos >> np.uint64(6)] >> (pos & np.uint64(63)))
+                & np.uint64(1)).astype(bool)
+    return hit
+
+
+def contamination_check_bloom(bloom_ref, k: int = 3, text_col: str = "text",
+                              id_col: str = "doc_id"):
+    """Bloom-filter form of :func:`contamination_check`: same output schema,
+    one-sided approximate (hits are a SUPERSET of the exact hits; FP rate
+    per the bloom's sizing). The bloom broadcasts as one bit array via
+    ``ray.put`` + the per-worker cache."""
+    from pipeflow_ray.stages.core import cached_broadcast
+
+    def _apply(t: pa.Table) -> pa.Table:
+        bloom = cached_broadcast(bloom_ref)
+        doc_of, grams = _token_ngrams(t, text_col, k)
+        n_hits = np.zeros(t.num_rows, dtype=np.int64)
+        if len(grams):
+            hit = _bloom_contains(bloom, grams)
+            if hit.any():
+                n_hits = np.bincount(doc_of[hit], minlength=t.num_rows).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "contaminated": pa.array((n_hits > 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _apply

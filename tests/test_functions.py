@@ -412,3 +412,39 @@ def test_contamination_check_vs_brute_force():
         exp.append(hits)
     assert got.n_hits.tolist() == exp
     assert got.contaminated.tolist() == [int(h > 0) for h in exp]
+
+
+def test_contamination_bloom_superset_and_fp_rate():
+    """Bloom contamination: no false negatives vs the exact path, and the
+    false-positive rate on disjoint grams stays under 1%."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from pipeflow_ray.functions.text import (
+        _bloom_contains,
+        _token_ngrams,
+        build_ngram_blocklist,
+        build_ngram_bloom,
+        contamination_check,
+        contamination_check_bloom,
+    )
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(60)]
+    ref = [" ".join(rng.choice(vocab, size=30)) for _ in range(20)]
+    texts = [" ".join(rng.choice(vocab, size=40)) for _ in range(200)]
+    t = pa.Table.from_pandas(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+
+    exact = contamination_check(ray.put(build_ngram_blocklist(ref, 3)), 3)(t).to_pandas()
+    bloom = build_ngram_bloom(ref, 3)
+    approx = contamination_check_bloom(ray.put(bloom), 3)(t).to_pandas()
+    # one-sided: bloom hits ⊇ exact hits, per doc
+    assert (approx.n_hits >= exact.n_hits).all()
+    assert (approx.contaminated >= exact.contaminated).all()
+
+    # FP rate on grams guaranteed absent from the blocklist
+    probe = pd.Series([f"x{i}\x1fy{i}\x1fz{i}" for i in range(50_000)])
+    fp = _bloom_contains(bloom, probe).mean()
+    assert fp < 0.01, fp
