@@ -1724,6 +1724,96 @@ def curation_docs(sf_dir):
     return anti_join(kept, losers, "doc_id", num_buckets=32)
 
 
+_CURATION_V2_ORACLE = _CURATION_ORACLE.rstrip() + """
+  AND d.doc_id IN (
+    SELECT doc_id FROM (
+      WITH dd AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+                  FROM documents),
+           tk AS (SELECT doc_id, unnest(toks) AS tok,
+                         generate_subscripts(toks, 1) AS i FROM dd),
+           sq AS (SELECT doc_id, tok,
+                         lead(tok, 1) OVER w AS tok1, lead(tok, 2) OVER w AS tok2
+                  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+           trs AS (SELECT doc_id, count(*) AS nt,
+                          count(DISTINCT tok || chr(31) || tok1 || chr(31) || tok2) AS dt
+                   FROM sq WHERE tok2 IS NOT NULL GROUP BY 1)
+      SELECT dd.doc_id FROM dd LEFT JOIN trs USING (doc_id)
+      WHERE coalesce(floor(1000000.0 * (nt - dt) / nt), 0) < 30000))
+  AND d.doc_id NOT IN (
+    SELECT doc_id FROM (
+      WITH dd AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+                  FROM documents),
+           tk AS (SELECT doc_id, unnest(toks) AS tok,
+                         generate_subscripts(toks, 1) AS i FROM dd),
+           sq AS (SELECT doc_id,
+                         tok || chr(31) || lead(tok, 1) OVER w
+                             || chr(31) || lead(tok, 2) OVER w AS tg
+                  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+           blk AS (SELECT DISTINCT tg FROM sq WHERE doc_id < 10 AND tg IS NOT NULL)
+      SELECT DISTINCT s.doc_id FROM sq s JOIN blk USING (tg)))"""
+
+
+@q("curation_v2_docs", _CURATION_V2_ORACLE)
+def curation_v2_docs(sf_dir):
+    """FIVE-stage curation capstone composing the round's operators:
+    quality scoring → exact dedup → MinHash near-dup anti-join →
+    repetition filter (duplicate-trigram fraction < 3%) → n-gram blocklist
+    decontamination (docs 0-9 as the planted eval set). Per-doc stages run
+    only on survivors; the oracle recomputes all five predicates in SQL."""
+    import pyarrow.dataset as pads
+
+    from pipeflow_ray.functions.dedup import exact_dedup, minhash_dedup_pairs
+    from pipeflow_ray.functions.text import (
+        build_ngram_blocklist,
+        contamination_check,
+        quality_batch,
+        repetition_stats,
+    )
+    from pipeflow_ray.stages.join import anti_join
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    survivors = exact_dedup(docs)
+    scored = survivors.map_batches(quality_batch, batch_format="pyarrow")
+
+    def _keep_quality(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["quality"], 0.5))
+        return t.select(["doc_id", "text"])
+
+    kept = scored.map_batches(_keep_quality, batch_format="pyarrow")
+
+    pairs = minhash_dedup_pairs(docs, threshold=0.9)
+
+    def _loser_ids(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["id_b"].cast(pa.int64())})
+
+    kept = anti_join(kept, pairs.map_batches(_loser_ids, batch_format="pyarrow"),
+                     "doc_id", num_buckets=32)
+
+    rep_fn = repetition_stats()
+
+    def _rep_filter(t: pa.Table) -> pa.Table:
+        stats = rep_fn(t)  # row-aligned with the input
+        return t.filter(pc.less(stats["dup3_micro"], 30_000))
+
+    kept = kept.map_batches(_rep_filter, batch_format="pyarrow")
+
+    ref_texts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+            filter=pads.field("doc_id") < 10,
+        ).to_pandas().sort_values("doc_id").text.tolist()
+    )
+    cont_fn = contamination_check(ray.put(build_ngram_blocklist(ref_texts, 3)), 3)
+
+    def _cont_filter(t: pa.Table) -> pa.Table:
+        c = cont_fn(t)  # row-aligned
+        t = t.filter(pc.equal(c["contaminated"], 0))
+        return t.select(["doc_id"])
+
+    return kept.map_batches(_cont_filter, batch_format="pyarrow")
+
+
 @q(
     "ivf_topk",
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
