@@ -66,6 +66,33 @@ def main():
     print("ANN top-5 per query:")
     print(nn.to_pandas().sort_values(["query_id", "rank"]).to_string(index=False))
 
+    # --- curation extras: repetition signals, PII scrub, decontamination
+    from pipeflow_ray.functions.text import (
+        build_ngram_blocklist,
+        contamination_check,
+        pii_redact,
+        repetition_stats,
+    )
+
+    rep = docs.map_batches(repetition_stats(), batch_format="pyarrow").to_pandas()
+    print(f"repetition: max dup-trigram fraction "
+          f"{rep.dup3_micro.max() / 1e6:.3f}, "
+          f"{int((rep.dup3_micro >= 30_000).sum())} docs ≥ 3%")
+
+    scrubbed = docs.map_batches(pii_redact(), batch_format="pyarrow")
+    hits = scrubbed.map_batches(
+        lambda t: t.select(["n_emails", "n_ips", "n_phones"]), batch_format="pyarrow"
+    ).to_pandas().sum()
+    print(f"pii scrub (this corpus is clean): {dict(hits)}")
+
+    ref_texts = docs.limit(10).to_pandas().sort_values("doc_id").text.tolist()
+    cont = docs.map_batches(
+        contamination_check(ray.put(build_ngram_blocklist(ref_texts, 3)), 3),
+        batch_format="pyarrow",
+    ).to_pandas()
+    print(f"decontamination vs a 10-doc blocklist: "
+          f"{int(cont.contaminated.sum())}/{len(cont)} docs flagged")
+
 
 if __name__ == "__main__":
     if not ray.is_initialized():
