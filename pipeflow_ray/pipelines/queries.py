@@ -1423,6 +1423,30 @@ def tfidf_docs(sf_dir):
     return tfidf_terms(docs)
 
 
+@q(
+    "streaming_vocab_docs",
+    """WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+                  FROM documents),
+            tk AS (SELECT doc_id, unnest(toks) AS token FROM d),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2)
+       SELECT token, CAST(count(*) AS BIGINT) AS df,
+              CAST(sum(tf) AS BIGINT) AS tf_total
+       FROM tf GROUP BY token""",
+)
+def streaming_vocab_docs(sf_dir):
+    """STREAMING vocabulary build (the third aggregate-on-ingest form after
+    dedup and quantiles): exact per-token document frequency + total term
+    frequency in one pass with O(vocabulary) actor state
+    (pipelines/streaming.StreamingVocabRunner). The corpus log here is the
+    documents parquet treated as a single shard."""
+    from pipeflow_ray.pipelines.streaming import StreamingVocabRunner
+
+    vocab, _metrics = StreamingVocabRunner(num_buckets=4).run(
+        f"{sf_dir}/documents.parquet"
+    )
+    return vocab
+
+
 @q("repetition_docs", _REPETITION_SQL)
 def repetition_docs(sf_dir):
     """Gopher-family repetition quality signals (top-bigram multiplicity,

@@ -2428,6 +2428,100 @@ class StreamingQuantileRunner:
         return result, metrics
 
 
+@ray.remote(num_cpus=0.25)
+class VocabBucketActor:
+    """Vocabulary state for one hash bucket of tokens: ``token → [document
+    frequency, total term frequency]``. Commutative merge; state is
+    O(vocabulary) ints — the vocabulary-build sibling of dedup-on-ingest."""
+
+    def __init__(self):
+        self.stats: dict[str, list] = {}
+
+    def process(self, partials: pd.DataFrame) -> None:
+        stats = self.stats
+        for token, df_c, tf_c in partials.itertuples(index=False, name=None):
+            cur = stats.get(token)
+            if cur is None:
+                stats[token] = [int(df_c), int(tf_c)]
+            else:
+                cur[0] += int(df_c)
+                cur[1] += int(tf_c)
+
+    def flush(self) -> pd.DataFrame:
+        toks = list(self.stats.keys())
+        arr = np.array(list(self.stats.values()), dtype=np.int64).reshape(-1, 2)
+        return pd.DataFrame({"token": toks,
+                             "df": arr[:, 0] if len(toks) else np.array([], np.int64),
+                             "tf_total": arr[:, 1] if len(toks) else np.array([], np.int64)})
+
+
+@ray.remote(num_cpus=0.5)
+def _replay_vocab_shard(files: list, text_col: str, id_col: str,
+                        micro_batch_rows: int, *buckets) -> int:
+    """Stream one shard group: per-batch (doc, token, tf) via the exact
+    explode kernel (each doc is one row, so tf is complete per doc), reduce
+    to per-token (df, tf) partials, route by token hash."""
+    from pipeflow_ray.functions.text import _doc_token_tf
+
+    nb = len(buckets)
+    rows = 0
+    pending: list = []
+    for f in files:
+        for rb in pq.ParquetFile(str(f)).iter_batches(
+            batch_size=micro_batch_rows, columns=[id_col, text_col]
+        ):
+            t = pa.Table.from_batches([rb])
+            rows += t.num_rows
+            tf = _doc_token_tf(t, text_col, id_col)
+            partials = (tf.groupby("token", sort=False)
+                        .agg(df_c=(id_col, "size"), tf_c=("tf", "sum"))
+                        .reset_index())
+            b = pd.util.hash_array(partials.token.to_numpy(dtype=object)) % nb
+            pending.extend(
+                buckets[k].process.remote(partials[b == k])
+                for k in range(nb) if (b == k).any()
+            )
+            if len(pending) > 256:
+                ray.get(pending)
+                pending = []
+    if pending:
+        ray.get(pending)
+    return rows
+
+
+class StreamingVocabRunner:
+    """Single-pass streaming vocabulary build: exact per-token document
+    frequency and total term frequency over a sharded corpus log, with
+    O(vocabulary) actor state — the batch :func:`~pipeflow_ray.functions.
+    text.tfidf_terms` df-side, available mid-stream at any flush."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 num_buckets: int = 8, max_replayers: int = 16):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_buckets = num_buckets
+        self.max_replayers = max_replayers
+
+    def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
+        files = _shard_files(parquet_path)
+        groups = _shard_groups(files, self.max_replayers)
+        actors = [VocabBucketActor.remote() for _ in range(self.num_buckets)]
+        rows = ray.get([
+            _replay_vocab_shard.remote(g, self.text_col, self.id_col,
+                                       micro_batch_rows, *actors)
+            for g in groups
+        ])
+        parts = [f for f in ray.get([a.flush.remote() for a in actors]) if len(f)]
+        vocab = (pd.concat(parts, ignore_index=True) if parts
+                 else pd.DataFrame({"token": pd.Series(dtype=object),
+                                    "df": pd.Series(dtype=np.int64),
+                                    "tf_total": pd.Series(dtype=np.int64)}))
+        metrics = {"rows": int(sum(rows)), "vocab": int(len(vocab)),
+                   "shards": len(files), "replayers": len(groups),
+                   "replayer_rows": [int(r) for r in rows]}
+        return vocab, metrics
+
+
 # ---------------------------------------------------------------------------
 # Streaming exact dedup: single-pass dedup-on-ingest with bounded state
 # ---------------------------------------------------------------------------

@@ -492,3 +492,43 @@ def test_streaming_quantiles_equal_batch(tmp_path):
     )
     pd.testing.assert_frame_equal(
         got[ref.columns], ref.astype(got[ref.columns].dtypes.to_dict()))
+
+
+def test_streaming_vocab_equals_batch_tfidf(tmp_path):
+    """Streaming vocabulary (df/tf on ingest) equals the batch tfidf_terms
+    df-side across shard interleavings."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from pipeflow_ray.functions.text import tfidf_terms
+    from pipeflow_ray.pipelines.streaming import StreamingVocabRunner
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 50)))
+             for _ in range(400)]
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    shard_dir = str(tmp_path / "shards")
+    os.makedirs(shard_dir)
+    per = 100
+    for k in range(4):
+        _pq.write_table(pa.Table.from_pandas(docs.iloc[k*per:(k+1)*per]),
+                        os.path.join(shard_dir, f"part-{k:05d}.parquet"))
+
+    got, metrics = StreamingVocabRunner(num_buckets=3).run(
+        shard_dir, micro_batch_rows=64)
+    assert metrics["rows"] == len(docs)
+    got = got.sort_values("token").reset_index(drop=True)
+
+    ref = (
+        tfidf_terms(ray.data.from_pandas(docs).repartition(3), num_buckets=4)
+        .to_pandas().groupby("token")
+        .agg(df=("df", "first"), tf_total=("tf", "sum")).reset_index()
+        .sort_values("token").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
