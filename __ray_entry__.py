@@ -41,9 +41,15 @@ def oracle_sql() -> dict[str, str]:
     # the transcript / multimodal oracles read deterministic fixture parquet —
     # make sure both exist before the driver runs the SQL side
     from pipeflow_ray.fixtures import ensure_transcripts
-    from pipeflow_ray.functions.multimodal import ensure_image_golden
+    from pipeflow_ray.functions.multimodal import (
+        ensure_audio_golden,
+        ensure_image_golden,
+        ensure_video_golden,
+    )
     from pipeflow_ray.pipelines.queries import ORACLES
 
     ensure_transcripts("/root/testdata/sf0.01")
     ensure_image_golden(200)  # gate runs at sf0.01 → n = 200
+    ensure_audio_golden(200)
+    ensure_video_golden(200)
     return dict(ORACLES)

@@ -272,3 +272,76 @@ class ResizeImages:
             out.append(_MAGIC + struct.pack("<III", self.out_w, self.out_h, 1) + small.tobytes())
         i = t.column_names.index(self.payload_col)
         return t.set_column(i, self.payload_col, pa.array(out, pa.binary()))
+
+
+def ensure_audio_golden(n: int, seed: int = 43) -> str:
+    """Golden stats parquet for :func:`synth_audio_table`\\(n, seed):
+    (audio_id, sample_rate, n_samples, rms_milli) computed straight from the
+    generator's rng stream (identical draw order), never through the payload
+    encode → actor decode path — the audio analog of
+    :func:`ensure_image_golden`."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    root = "/tmp/pipeflow_fixtures"
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"audio_golden_n{n}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(seed)
+    rates = rng.choice([8000, 16000, 44100], n)
+    n_samples = np.empty(n, np.int64)
+    rms_milli = np.empty(n, np.int64)
+    for i in range(n):  # identical draw order to synth_audio_table
+        ns = int(rng.integers(400, 4000))
+        pcm = (rng.standard_normal(ns) * 3000).astype(np.int16).astype(np.float64)
+        n_samples[i] = ns
+        rms_milli[i] = int(np.floor(np.sqrt((pcm ** 2).mean()) * 1000.0))
+    t = pa.table(
+        {
+            "audio_id": pa.array(np.arange(n), pa.int64()),
+            "sample_rate": pa.array(rates.astype(np.int64), pa.int64()),
+            "n_samples": pa.array(n_samples, pa.int64()),
+            "rms_milli": pa.array(rms_milli, pa.int64()),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def ensure_video_golden(n: int, seed: int = 44, stride: int = 4) -> str:
+    """Golden per-sampled-frame stats parquet for
+    :func:`synth_video_table`\\(n, seed): (video_id, frame_idx, mean_milli)
+    for every *stride*-th frame, from the generator's rng stream."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    root = "/tmp/pipeflow_fixtures"
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"video_golden_n{n}_s{seed}_k{stride}.parquet")
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(seed)
+    vids, fidx, means = [], [], []
+    for i in range(n):  # identical draw order to synth_video_table
+        w, h, nf = int(rng.integers(8, 32)), int(rng.integers(8, 32)), int(rng.integers(4, 24))
+        frames = rng.integers(0, 256, w * h * nf, dtype=np.uint8).reshape(nf, w * h)
+        for j in range(0, nf, stride):
+            vids.append(i)
+            fidx.append(j)
+            means.append(int(np.floor(frames[j].astype(np.float64).mean() * 1000.0)))
+    t = pa.table(
+        {
+            "video_id": pa.array(np.asarray(vids, np.int64), pa.int64()),
+            "frame_idx": pa.array(np.asarray(fidx, np.int64), pa.int64()),
+            "mean_milli": pa.array(np.asarray(means, np.int64), pa.int64()),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path

@@ -1911,6 +1911,80 @@ def multimodal_decode(sf_dir):
     return decoded.map_batches(_fmt, batch_format="pyarrow")
 
 
+@q(
+    "multimodal_audio",
+    """SELECT audio_id, sample_rate, n_samples, rms_milli
+       FROM read_parquet('/tmp/pipeflow_fixtures/audio_golden_n200_s43.parquet')""",
+)
+def multimodal_audio(sf_dir):
+    """Synthetic-audio feature extraction through the actor-pool stage,
+    hash-checked against a golden parquet computed from the generator's rng
+    stream (the audio analog of multimodal_decode). n_samples recovers
+    exactly from duration·rate (one float division round-trips below
+    2^53)."""
+    from pipeflow_ray.fixtures import sf_of_dir
+    from pipeflow_ray.functions.multimodal import (
+        ExtractAudioFeatures,
+        ensure_audio_golden,
+        synth_audio_table,
+    )
+
+    n = max(100, int(sf_of_dir(sf_dir) * 20_000))
+    ensure_audio_golden(n)
+    feats = ray.data.from_arrow(synth_audio_table(n)).map_batches(
+        ExtractAudioFeatures, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4), num_cpus=1,
+    )
+
+    def _fmt(t: pa.Table) -> pa.Table:
+        ns = pc.round(pc.multiply(t["duration_s"], t["sample_rate"].cast(pa.float64())))
+        return pa.table(
+            {
+                "audio_id": t["audio_id"],
+                "sample_rate": t["sample_rate"].cast(pa.int64()),
+                "n_samples": ns.cast(pa.int64()),
+                "rms_milli": pc.floor(pc.multiply(t["rms"], 1000.0)).cast(pa.int64()),
+            }
+        )
+
+    return feats.map_batches(_fmt, batch_format="pyarrow")
+
+
+@q(
+    "multimodal_video",
+    """SELECT video_id, frame_idx, mean_milli
+       FROM read_parquet('/tmp/pipeflow_fixtures/video_golden_n200_s44_k4.parquet')""",
+)
+def multimodal_video(sf_dir):
+    """Synthetic-video frame sampling (1 → N explode) through the actor-pool
+    stage, hash-checked against the rng-stream golden — flips the last
+    multimodal modality from rows-only to value-verified."""
+    from pipeflow_ray.fixtures import sf_of_dir
+    from pipeflow_ray.functions.multimodal import (
+        SampleVideoFrames,
+        ensure_video_golden,
+        synth_video_table,
+    )
+
+    n = max(100, int(sf_of_dir(sf_dir) * 20_000))
+    ensure_video_golden(n)
+    frames = ray.data.from_arrow(synth_video_table(n)).map_batches(
+        SampleVideoFrames, fn_constructor_kwargs={"stride": 4},
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 4), num_cpus=1,
+    )
+
+    def _fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "video_id": t["video_id"],
+                "frame_idx": t["frame_idx"].cast(pa.int64()),
+                "mean_milli": pc.floor(pc.multiply(t["mean_intensity"], 1000.0)).cast(pa.int64()),
+            }
+        )
+
+    return frames.map_batches(_fmt, batch_format="pyarrow")
+
+
 @q("flagship")
 def flagship(sf_dir):
     from pipeflow_ray.pipelines.flagship import flagship_pipeline
