@@ -599,6 +599,76 @@ def transcripts_sessions(sf_dir):
 
 
 @q(
+    "session_interval_join",
+    f"""WITH o AS (SELECT conv_id, turn_idx, epoch_us(ts) AS tus
+                   FROM read_parquet('{_TP001}')),
+           m AS (SELECT conv_id, tus, turn_idx,
+                        CASE WHEN tus - lag(tus) OVER (PARTITION BY conv_id ORDER BY tus)
+                                  > 1800000000 THEN 1 ELSE 0 END AS brk
+                 FROM o),
+           s AS (SELECT conv_id, tus, turn_idx,
+                        SUM(brk) OVER (PARTITION BY conv_id ORDER BY tus
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM m),
+           sess AS (SELECT conv_id, sid, CAST(min(tus) AS BIGINT) AS start_us,
+                           CAST(max(tus) AS BIGINT) AS end_us
+                    FROM s GROUP BY conv_id, sid)
+        SELECT o.conv_id, CAST(o.turn_idx AS BIGINT) AS turn_idx,
+               CAST(sess.sid AS BIGINT) AS session_id, sess.start_us
+        FROM o JOIN sess ON sess.conv_id = o.conv_id
+                        AND o.tus BETWEEN sess.start_us AND sess.end_us""",
+)
+def session_interval_join(sf_dir):
+    """INTERVAL JOIN (point-in-interval): every turn matched to the session
+    window containing its event time — non-overlapping intervals per key, so
+    the operator composes as co-partitioned as-of (backward on start) + an
+    end-bound filter (stages/join.interval_join). 50k turns → 50k matches
+    at sf0.01 (every turn lies in exactly one session)."""
+    from pipeflow_ray.stages.join import interval_join
+
+    turns = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id", "turn_idx", "ts"])
+
+    def _l(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"].cast(pa.int64()),
+                "ts_us": t["ts"].cast(pa.int64()),
+            }
+        )
+
+    left = turns.map_batches(_l, batch_format="pyarrow")
+
+    base = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id", "ts"])
+    sess = session_aggregate(base, "conv_id", gap_s=1800.0, specs={"n": ("count", None)})
+
+    def _r(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "session_id": t["session_id"].cast(pa.int64()),
+                "start_us": t["session_start"].cast(pa.int64()),
+                "end_us": t["session_end"].cast(pa.int64()),
+            }
+        )
+
+    right = sess.map_batches(_r, batch_format="pyarrow")
+    joined = interval_join(left, right, "conv_id")
+
+    def _fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "session_id": t["session_id"].cast(pa.int64()),
+                "start_us": t["start_us"].cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(_fmt, batch_format="pyarrow")
+
+
+@q(
     "streaming_sessions",
     f"""WITH o AS (SELECT conv_id, epoch_us(ts) AS tus, length(coalesce(text, '')) AS nc
                    FROM read_parquet('{_TP001}')),

@@ -355,3 +355,57 @@ def _semi_filter(left, right, left_on, right_on, num_buckets, keep: bool):
     import ray.data as _rd
 
     return _rd.from_arrow_refs(refs) if refs else _rd.from_items([])
+
+
+def interval_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    ts_col: str = "ts_us",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    how: str = "inner",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Point-in-interval join: each left row matched to the right interval of
+    the same key containing its event time (``start ≤ ts ≤ end``).
+
+    Requires NON-OVERLAPPING intervals per key (the session-window case) —
+    then "the interval containing ts" is exactly "the latest interval with
+    start ≤ ts, if ts ≤ its end", so the operator composes as the
+    co-partitioned :func:`asof_join` (backward on start) plus a vectorized
+    end-bound filter. Inner semantics: unmatched left rows drop.
+    """
+    if how != "inner":
+        raise ValueError("interval_join currently supports how='inner' only")
+
+    def _as_ts(t: pa.Table) -> pa.Table:
+        # asof machinery matches on a shared ts column name: expose the
+        # interval start under the left's ts name
+        cols = {c: t[c] for c in t.column_names if c != start_col}
+        cols[ts_col] = t[start_col]
+        cols[f"__{start_col}"] = t[start_col]
+        return pa.table(cols)
+
+    r = right.map_batches(_as_ts, batch_format="pyarrow")
+    joined = asof_join(left, r, key, ts_col=ts_col, direction="backward",
+                       num_buckets=num_buckets)
+
+    import pyarrow.compute as pc
+
+    def _bound(t: pa.Table) -> pa.Table:
+        inside = pc.and_kleene(
+            pc.less_equal(t[ts_col], t[end_col]),
+            pc.greater_equal(t[ts_col], t[f"__{start_col}"]),
+        )
+        t = t.filter(pc.fill_null(inside, False))
+        # rename __start back and drop the helper
+        cols = {}
+        for c in t.column_names:
+            if c == f"__{start_col}":
+                cols[start_col] = t[c]
+            else:
+                cols[c] = t[c]
+        return pa.table(cols)
+
+    return joined.map_batches(_bound, batch_format="pyarrow")

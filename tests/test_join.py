@@ -130,3 +130,32 @@ def test_semi_join_complements_anti_join():
     empty = ray.data.from_pandas(pd.DataFrame({"j": pd.Series([], dtype="int64")}))
     assert semi_join(lds, empty, "k", "j", num_buckets=4).count() == 0
     assert anti_join(lds, empty, "k", "j", num_buckets=4).count() == len(left)
+
+
+def test_interval_join_boundaries_and_unmatched():
+    import pandas as pd
+    import ray.data
+
+    from pipeflow_ray.stages.join import interval_join
+
+    events = pd.DataFrame({
+        "k": ["a", "a", "a", "a", "b", "b"],
+        "ts_us": [5, 10, 20, 35, 7, 100],
+        "eid": [0, 1, 2, 3, 4, 5],
+    })
+    intervals = pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "start_us": [10, 30, 0],
+        "end_us": [20, 40, 50],
+        "iv": ["a1", "a2", "b1"],
+    })
+    out = interval_join(
+        ray.data.from_pandas(events).repartition(2),
+        ray.data.from_pandas(intervals).repartition(2),
+        "k", num_buckets=4,
+    ).to_pandas().sort_values("eid").reset_index(drop=True)
+    # eid 0 (ts 5 < first start) and eid 5 (ts 100 > end) drop; boundaries
+    # are inclusive on both ends (ts 10 and ts 20 inside [10, 20])
+    assert out.eid.tolist() == [1, 2, 3, 4]
+    assert out.iv.tolist() == ["a1", "a1", "a2", "b1"]
+    assert out.start_us.tolist() == [10, 10, 30, 0]
