@@ -10,10 +10,11 @@ vectorized: per-micro-batch session *fragments* are computed with pandas
 
 Partitioning: conversations are hash-bucketed across ``num_buckets`` actors —
 the same key discipline as the batch path (one key, ``conv_id``, everywhere).
-Arrival order: the driver replays the input log (parquet row groups) in file
-order; at 100 TB each log shard is replayed sequentially by its own driver
-task while buckets process in parallel — the per-shard sequential scan is the
-cost of arrival-order semantics, not a Ray limitation.
+Arrival order: ALL ingest goes through :class:`ShardReplayer` actors (one
+ingest code path — the driver never decodes bytes): each replayer owns one
+contiguous name-ordered shard group and replays it sequentially; the
+``Streaming*Runner`` classes are thin ``max_replayers=1`` wrappers over their
+``Parallel*Runner`` twins for strict totally-ordered arrival semantics.
 
 Semantics contract (tested): with ``allowed_lateness`` ≥ max disorder, the
 finalized sessions equal the batch-mode :func:`~pipeflow_ray.stages.window.
@@ -195,93 +196,39 @@ class SessionBucketActor:
 
 
 class StreamingSessionRunner:
-    """Replays a transcript parquet log in arrival order through bucketed
-    session-state actors with a monotonic watermark."""
+    """Strictly-ordered streaming sessionization: a thin ``max_replayers=1``
+    wrapper over :class:`ParallelStreamingRunner` (round-3 VERDICT #3 — ONE
+    ingest code path; this class used to own a driver-side decode loop).
+    With a single replayer the shard group is the whole log in name order,
+    so arrival order is total — the legacy semantics — while every byte
+    still decodes inside a :class:`ShardReplayer` actor.
+
+    Returns the legacy ``(sessions, late, metrics)`` shape: late rows are
+    retained inside the replayer (``retain_late``) and surfaced as a
+    side-output DataFrame, never silently dropped."""
 
     def __init__(self, gap_s: float = 1800.0, lateness_s: float = 3600.0, num_buckets: int = 8):
         self.gap_s = gap_s
-        self.lateness_us = int(lateness_s * US)
+        self.lateness_s = lateness_s
         self.num_buckets = num_buckets
 
     def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
         """→ (sessions: pd.DataFrame, late: pd.DataFrame, metrics: dict)."""
-        actors = [SessionBucketActor.remote(self.gap_s) for _ in range(self.num_buckets)]
-        watermark_us = -(1 << 62)
-        late_parts: list[pd.DataFrame] = []
-        out_parts: list[pd.DataFrame] = []
-        n_rows = 0
-        n_batches = 0
-
-        import os
-
-        if os.path.isdir(parquet_path):  # sharded log: replay shards in name order
-            files = sorted(
-                os.path.join(parquet_path, f)
-                for f in os.listdir(parquet_path)
-                if f.endswith(".parquet")
-            )
-        else:
-            files = [parquet_path]
-
-        def _arrival_batches():
-            for fp in files:
-                yield from pq.ParquetFile(fp).iter_batches(
-                    batch_size=micro_batch_rows, columns=["conv_id", "text", "ts"]
-                )
-
-        pending: list[ray.ObjectRef] = []
-        for rb in _arrival_batches():
-            n_batches += 1
-            n_rows += rb.num_rows
-            df = pd.DataFrame(
-                {
-                    "conv_id": rb.column("conv_id").to_pandas(),
-                    "ts_us": rb.column("ts").cast(pa.int64()).to_pandas(),
-                    "n_chars": _n_chars(rb.column("text")),
-                }
-            )
-            # late = behind the watermark at arrival → side output, not state
-            late_mask = df.ts_us < watermark_us
-            if late_mask.any():
-                late_parts.append(df[late_mask])
-                df = df[~late_mask]
-            # monotonic watermark advance
-            if len(df):
-                watermark_us = max(watermark_us, int(df.ts_us.max()) - self.lateness_us)
-            if not len(df):
-                continue
-            frags = _session_fragments(df, int(self.gap_s * US))
-            bucket = pd.util.hash_array(frags.conv_id.to_numpy(dtype=object)) % self.num_buckets
-            pending = []
-            for b in range(self.num_buckets):
-                sub = frags[bucket == b]
-                if len(sub):
-                    pending.append(actors[b].process.remote(sub, watermark_us))
-            # micro-batch barrier: state must be applied in arrival order
-            for part in ray.get(pending):
-                if len(part):
-                    out_parts.append(part)
-
-        for part in ray.get([a.flush.remote() for a in actors]):
-            if len(part):
-                out_parts.append(part)
-
-        sessions = (
-            pd.concat(out_parts, ignore_index=True)
-            if out_parts
-            else pd.DataFrame(columns=["conv_id", "start_us", "end_us", "n_turns", "n_chars"])
+        inner = ParallelStreamingRunner(
+            gap_s=self.gap_s, lateness_s=self.lateness_s,
+            num_buckets=self.num_buckets, max_replayers=1,
         )
-        sessions["session_start"] = pd.to_datetime(sessions.start_us, unit="us")
-        sessions["session_end"] = pd.to_datetime(sessions.end_us, unit="us")
-        late = pd.concat(late_parts, ignore_index=True) if late_parts else pd.DataFrame(columns=df.columns if n_rows else [])
-        metrics = {
-            "rows": n_rows,
-            "micro_batches": n_batches,
-            "late_rows": int(len(late)),
-            "sessions": int(len(sessions)),
-            "final_watermark_us": int(watermark_us),
-        }
-        return sessions.drop(columns=["start_us", "end_us"]), late, metrics
+        inner.retain_late = True
+        sessions, metrics = inner.run(parquet_path, micro_batch_rows)
+        late = _collect_late(inner, columns=["conv_id", "ts_us", "n_chars"])
+        metrics["sessions"] = int(len(sessions))
+        return sessions, late, metrics
+
+
+def _collect_late(runner: "_ParallelReplayBase", columns: list[str]) -> pd.DataFrame:
+    """Drain retained late-row frames from a finished runner's replayers."""
+    parts = [f for f in ray.get([r.late_frames.remote() for r in runner._reps]) if len(f)]
+    return pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(columns=columns)
 
 
 @ray.remote(num_cpus=0.25)
@@ -347,111 +294,41 @@ class TumblingBucketActor:
 
 
 class StreamingTumblingRunner:
-    """Arrival-order tumbling-window aggregation with watermark finalization.
-
-    Per micro-batch: vectorized per-(key, window) partials (one pandas
-    groupby), hash-bucketed to state actors; windows whose end the monotonic
-    watermark has passed are emitted immediately (bounded state), late rows go
-    to the side output. With lateness ≥ disorder, results equal the batch
-    tumbling aggregate (tested).
+    """Strictly-ordered tumbling-window aggregation: a thin
+    ``max_replayers=1`` wrapper over :class:`ParallelTumblingRunner`
+    (round-3 VERDICT #3 — one ingest code path; the driver-side decode loop
+    this class used to own is gone). ``value_col`` is accepted for API
+    compatibility; the measured value is always char count of ``text``
+    (as before).
 
     Null event times: event-time streaming needs an event time, so null-ts
     rows are counted (``metrics["null_ts_rows"]``) and dropped — the BATCH
     window path emits them under a null window_start instead (documented
-    divergence; same policy as the parallel replayers).
-    """
+    divergence)."""
 
     def __init__(self, width_s: float = 3600.0, lateness_s: float = 3600.0,
                  num_buckets: int = 8, key_col: str = "conv_id",
                  value_col: str = "n_chars"):
-        self.width_us = int(width_s * US)
         self.width_s = width_s
-        self.lateness_us = int(lateness_s * US)
+        self.lateness_s = lateness_s
         self.num_buckets = num_buckets
         self.key_col = key_col
         self.value_col = value_col
 
-    def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
-        import os
-
-        actors = [TumblingBucketActor.remote(self.width_s) for _ in range(self.num_buckets)]
-        watermark_us = -(1 << 62)
-        out_parts: list[pd.DataFrame] = []
-        late_rows = 0
-        n_rows = 0
-
-        if os.path.isdir(parquet_path):
-            files = sorted(
-                os.path.join(parquet_path, f)
-                for f in os.listdir(parquet_path) if f.endswith(".parquet")
-            )
-        else:
-            files = [parquet_path]
-
-        null_ts_rows = 0
-        cols = [self.key_col, "text", "ts"]
-        for fp in files:
-            for rb in pq.ParquetFile(fp).iter_batches(batch_size=micro_batch_rows, columns=cols):
-                n_rows += rb.num_rows
-                df = pd.DataFrame(
-                    {
-                        "key": rb.column(0).to_pandas(),
-                        "ts_us": rb.column("ts").cast(pa.int64()).to_pandas(),
-                        "v": _n_chars(rb.column("text")),
-                    }
-                )
-                nulls = df.ts_us.isna()
-                if nulls.any():  # see class docstring: null-ts rows counted, dropped
-                    null_ts_rows += int(nulls.sum())
-                    df = df[~nulls]
-                late = df.ts_us < watermark_us
-                late_rows += int(late.sum())
-                df = df[~late]
-                if not len(df):
-                    continue
-                watermark_us = max(watermark_us, int(df.ts_us.max()) - self.lateness_us)
-                df["ws"] = df.ts_us // self.width_us * self.width_us
-                partials = (
-                    df.groupby(["key", "ws"], sort=False)
-                    .agg(n=("v", "size"), s=("v", "sum"))
-                    .reset_index()
-                )
-                bucket = pd.util.hash_array(partials.key.to_numpy(dtype=object)) % self.num_buckets
-                futs = [
-                    actors[b].process.remote(partials[bucket == b], watermark_us)
-                    for b in range(self.num_buckets) if (bucket == b).any()
-                ]
-                for part in ray.get(futs):
-                    if len(part):
-                        out_parts.append(part)
-
-        for part in ray.get([a.flush.remote() for a in actors]):
-            if len(part):
-                out_parts.append(part)
-
-        windows = (
-            pd.concat(out_parts, ignore_index=True)
-            if out_parts
-            else pd.DataFrame(columns=["key", "window_start_us", "n", "value_sum"])
+    def _inner(self) -> "ParallelTumblingRunner":
+        return ParallelTumblingRunner(
+            width_s=self.width_s, lateness_s=self.lateness_s,
+            num_buckets=self.num_buckets, key_col=self.key_col, max_replayers=1,
         )
-        metrics = {"rows": n_rows, "late_rows": late_rows,
-                   "null_ts_rows": null_ts_rows, "windows": int(len(windows)),
-                   "final_watermark_us": int(watermark_us)}
-        return windows, metrics
+
+    def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
+        return self._inner().run(parquet_path, micro_batch_rows)
 
 
 class StreamingSlidingRunner(StreamingTumblingRunner):
-    """Arrival-order SLIDING-window aggregation: each row contributes a
-    partial to every window containing it (k = width/slide replicated
-    window-starts, vectorized), then the tumbling machinery — actor state
-    keyed (key, window_start), watermark finalization when the watermark
-    passes ``window_start + width`` — applies unchanged.
-
-    With lateness ≥ disorder the finalized windows equal the batch
-    :func:`~pipeflow_ray.stages.window.sliding_aggregate` (tested) — EXCEPT
-    on null event times, which are counted (``metrics["null_ts_rows"]``) and
-    dropped here while the batch path emits them once under a null
-    window_start (ADVICE r2; same policy as the parallel replayers)."""
+    """Strictly-ordered SLIDING-window aggregation: ``max_replayers=1``
+    wrapper over :class:`ParallelSlidingRunner` (row→k-window tiling happens
+    inside the replayer actor; see that class for semantics)."""
 
     def __init__(self, width_s: float = 7200.0, slide_s: float = 3600.0,
                  lateness_s: float = 3600.0, num_buckets: int = 8,
@@ -460,84 +337,13 @@ class StreamingSlidingRunner(StreamingTumblingRunner):
             raise ValueError("sliding window width must be a multiple of slide")
         super().__init__(width_s=width_s, lateness_s=lateness_s,
                          num_buckets=num_buckets, key_col=key_col, value_col=value_col)
-        self.slide_us = int(slide_s * US)
+        self.slide_s = slide_s
 
-    def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
-        import os
-
-        k = self.width_us // self.slide_us
-        actors = [TumblingBucketActor.remote(self.width_s) for _ in range(self.num_buckets)]
-        watermark_us = -(1 << 62)
-        out_parts: list[pd.DataFrame] = []
-        late_rows = 0
-        n_rows = 0
-
-        files = sorted(
-            os.path.join(parquet_path, f)
-            for f in os.listdir(parquet_path) if f.endswith(".parquet")
-        ) if os.path.isdir(parquet_path) else [parquet_path]
-
-        null_ts_rows = 0
-        cols = [self.key_col, "text", "ts"]
-        for fp in files:
-            for rb in pq.ParquetFile(fp).iter_batches(batch_size=micro_batch_rows, columns=cols):
-                n_rows += rb.num_rows
-                df = pd.DataFrame(
-                    {
-                        "key": rb.column(0).to_pandas(),
-                        "ts_us": rb.column("ts").cast(pa.int64()).to_pandas(),
-                        "v": _n_chars(rb.column("text")),
-                    }
-                )
-                nulls = df.ts_us.isna()
-                if nulls.any():  # see class docstring: null-ts rows counted, dropped
-                    null_ts_rows += int(nulls.sum())
-                    df = df[~nulls]
-                late = df.ts_us < watermark_us
-                late_rows += int(late.sum())
-                df = df[~late]
-                if not len(df):
-                    continue
-                watermark_us = max(watermark_us, int(df.ts_us.max()) - self.lateness_us)
-                # replicate into the k containing windows: with width a
-                # multiple of slide, EVERY row is inside all k shifted
-                # windows (ws + width = base + (k-i)·slide > ts), so the
-                # replication is an unconditional tile — no mask, no copies
-                base = df.ts_us.to_numpy() // self.slide_us * self.slide_us
-                rep = pd.DataFrame(
-                    {
-                        "key": np.tile(df.key.to_numpy(), k),
-                        "ws": np.concatenate([base - i * self.slide_us for i in range(k)]),
-                        "v": np.tile(df.v.to_numpy(), k),
-                    }
-                )
-                partials = (
-                    rep.groupby(["key", "ws"], sort=False)
-                    .agg(n=("v", "size"), s=("v", "sum"))
-                    .reset_index()
-                )
-                bucket = pd.util.hash_array(partials.key.to_numpy(dtype=object)) % self.num_buckets
-                futs = [
-                    actors[b].process.remote(partials[bucket == b], watermark_us)
-                    for b in range(self.num_buckets) if (bucket == b).any()
-                ]
-                for part in ray.get(futs):
-                    if len(part):
-                        out_parts.append(part)
-
-        for part in ray.get([a.flush.remote() for a in actors]):
-            if len(part):
-                out_parts.append(part)
-
-        windows = (
-            pd.concat(out_parts, ignore_index=True)
-            if out_parts
-            else pd.DataFrame(columns=["key", "window_start_us", "n", "value_sum"])
+    def _inner(self) -> "ParallelSlidingRunner":
+        return ParallelSlidingRunner(
+            width_s=self.width_s, slide_s=self.slide_s, lateness_s=self.lateness_s,
+            num_buckets=self.num_buckets, key_col=self.key_col, max_replayers=1,
         )
-        metrics = {"rows": n_rows, "late_rows": late_rows,
-                   "null_ts_rows": null_ts_rows, "windows": int(len(windows)),
-                   "final_watermark_us": int(watermark_us)}
-        return windows, metrics
 
 
 # ---------------------------------------------------------------------------
@@ -665,7 +471,8 @@ class ShardReplayer:
 
     def __init__(self, shard_id: int, files: list, mode: str, params: dict,
                  lateness_us: int, micro_batch_rows: int, wm_actor,
-                 bucket_actors: list, start_offset: int = 0):
+                 bucket_actors: list, start_offset: int = 0,
+                 retain_late: bool = False):
         self.shard_id = shard_id
         self.files = [str(f) for f in files]
         self.mode = mode
@@ -682,6 +489,18 @@ class ShardReplayer:
         self.eof = False
         self._iter = None
         self._pending: list = []  # in-flight bucket process() futures
+        # legacy side-output support (Streaming*Runner wrappers): buffer the
+        # late rows themselves, not just the count
+        self.retain_late = retain_late
+        self._late_parts: list[pd.DataFrame] = []
+
+    def late_frames(self) -> pd.DataFrame:
+        """Retained late rows (only populated when ``retain_late``)."""
+        return (
+            pd.concat(self._late_parts, ignore_index=True)
+            if self._late_parts
+            else pd.DataFrame()
+        )
 
     def _batches(self):
         cols = (
@@ -778,6 +597,8 @@ class ShardReplayer:
             late = df.ts_us < prev_g
             if late.any():
                 self.late_rows += int(late.sum())
+                if self.retain_late:
+                    self._late_parts.append(df[late])
                 df = df[~late]
             if len(df):
                 self._route(df, p["key"])
@@ -813,6 +634,8 @@ class ShardReplayer:
         late = df.ts_us < prev_g
         if late.any():
             self.late_rows += int(late.sum())
+            if self.retain_late:
+                self._late_parts.append(df[late])
             df = df[~late]
         if not len(df):
             return
@@ -860,6 +683,10 @@ class _ParallelReplayBase:
         # micro-batches per replayer between eviction barriers: bounds open
         # state to what accumulates within one epoch span
         self.epoch_batches = epoch_batches
+        # legacy-wrapper hook: replayers buffer late ROWS (not just counts)
+        # for the (sessions, late, metrics) side-output API
+        self.retain_late = False
+        self._reps: list = []  # live replayer handles after _replay_all
 
     # --- subclass hooks ---
     def _params(self) -> dict:
@@ -883,9 +710,11 @@ class _ParallelReplayBase:
         wm = WatermarkActor.remote(list(range(len(groups))))
         reps = [
             ShardReplayer.remote(i, g, self.mode, self._params(),
-                                 self.lateness_us, micro_batch_rows, wm, actors)
+                                 self.lateness_us, micro_batch_rows, wm, actors,
+                                 retain_late=self.retain_late)
             for i, g in enumerate(groups)
         ]
+        self._reps = reps
         n = len(groups)
         results: list = [None] * n
         eofs = [False] * n
@@ -1228,25 +1057,27 @@ def _actor_dump(actor) -> pd.DataFrame:
     return ray.get(actor.dump_state.remote())
 
 
+def _batches_to_epochs(stop_after_batches: int | None, checkpoint_every: int) -> int | None:
+    """Translate the legacy crash-injection hook (stop after N micro-batches)
+    into the parallel runners' epoch unit (one epoch = ``checkpoint_every``
+    micro-batches per replayer)."""
+    if stop_after_batches is None:
+        return None
+    return max(1, -(-stop_after_batches // checkpoint_every))
+
+
 class CheckpointingSessionRunner(StreamingSessionRunner):
-    """Streaming sessionization with periodic consistent checkpoints and
-    exactly-once output, resumable mid-stream.
+    """Strictly-ordered checkpointing sessionization: a thin
+    ``max_replayers=1`` wrapper over
+    :class:`ParallelCheckpointingSessionRunner` (round-3 VERDICT #3 — one
+    ingest + one checkpoint code path). Epoch-aligned barriers: every
+    ``checkpoint_every`` micro-batches → drain buffered finalized sessions →
+    atomic partition commit → snapshot {open state, replay offset,
+    watermark}. Crash recovery replays exactly the lost span: committed
+    output has no duplicates and no gaps (tested: killed run + resume ≡
+    uninterrupted run ≡ batch oracle)."""
 
-    Every ``checkpoint_every`` micro-batches the runner takes a barrier:
-    1. drains each bucket actor's buffered finalized sessions and commits
-       them as one atomically-manifested partition (``state.manifest``);
-    2. snapshots open per-conversation state + the replay position
-       (micro-batch index, watermark, late count) to a checkpoint record
-       (parquet + json, atomic rename).
-
-    Crash recovery: emissions since the last checkpoint were only buffered in
-    actors (never persisted) — resume restores actor state + offset from the
-    checkpoint and recomputes exactly the lost span, so committed output has
-    no duplicates and no gaps (tested: killed run + resume ≡ uninterrupted
-    run ≡ batch oracle).
-    """
-
-    def run(  # noqa: C901 - checkpoint state machine
+    def run(
         self,
         parquet_path: str,
         out_dir: str,
@@ -1254,137 +1085,12 @@ class CheckpointingSessionRunner(StreamingSessionRunner):
         checkpoint_every: int = 10,
         stop_after_batches: int | None = None,  # crash-injection hook (tests)
     ):
-        import json
-        import os
-
-        from pipeflow_ray.state.manifest import commit_partition, prepare_sink
-
-        prepare_sink(out_dir)
-        ck_dir = os.path.join(out_dir, "_checkpoints")
-        os.makedirs(ck_dir, exist_ok=True)
-        ck_json = os.path.join(ck_dir, "latest.json")
-
-        actors = [
-            SessionBucketActor.remote(self.gap_s, retain_emissions=True)
-            for _ in range(self.num_buckets)
-        ]
-
-        start_batch = 0
-        watermark_us = -(1 << 62)
-        late_rows = 0
-        commit_seq = 0
-        finalized = False  # did a previous run already flush + commit the final partition?
-        if os.path.exists(ck_json):
-            with open(ck_json) as f:
-                ck = json.load(f)
-            start_batch = ck["next_batch"]
-            watermark_us = ck["watermark_us"]
-            late_rows = ck["late_rows"]
-            commit_seq = ck["commit_seq"]
-            finalized = ck.get("finalized", False)
-            state_df = pd.read_parquet(os.path.join(ck_dir, ck["state_file"]))
-            bucket = pd.util.hash_array(state_df.conv_id.to_numpy(dtype=object)) % self.num_buckets
-            ray.get([
-                actors[b].load_state.remote(state_df[bucket == b])
-                for b in range(self.num_buckets)
-            ])
-
-        def _commit_drained(seq: int) -> int:
-            parts = [p for p in ray.get([a.drain.remote() for a in actors]) if len(p)]
-            body = (
-                pd.concat(parts, ignore_index=True)
-                if parts
-                else pd.DataFrame(columns=["conv_id", "start_us", "end_us", "n_turns", "n_chars"])
-            )
-            commit_partition(
-                pa.Table.from_pandas(body, preserve_index=False),
-                out_dir, seq, ts_col=None,
-                lineage={"input": parquet_path, "kind": "stream-checkpoint", "seq": seq},
-            )
-            return seq + 1
-
-        def _checkpoint(next_batch: int, final: bool = False) -> None:
-            states = pd.concat(
-                [s for s in ray.get([a.dump_state.remote() for a in actors])],
-                ignore_index=True,
-            )
-            state_file = f"state-{next_batch:08d}.parquet"
-            tmp = os.path.join(ck_dir, state_file + ".tmp")
-            states.to_parquet(tmp)
-            os.replace(tmp, os.path.join(ck_dir, state_file))
-            rec = {"next_batch": next_batch, "watermark_us": watermark_us,
-                   "late_rows": late_rows, "commit_seq": commit_seq,
-                   "state_file": state_file, "finalized": final}
-            tmpj = ck_json + ".tmp"
-            with open(tmpj, "w") as f:
-                json.dump(rec, f)
-            os.replace(tmpj, ck_json)  # atomic: checkpoint becomes visible
-
-        if os.path.isdir(parquet_path):
-            files = sorted(
-                os.path.join(parquet_path, f)
-                for f in os.listdir(parquet_path) if f.endswith(".parquet")
-            )
-        else:
-            files = [parquet_path]
-
-        def _batches():
-            for fp in files:
-                yield from pq.ParquetFile(fp).iter_batches(
-                    batch_size=micro_batch_rows, columns=["conv_id", "text", "ts"]
-                )
-
-        n_rows = 0
-        idx = -1
-        for idx, rb in enumerate(_batches()):
-            if idx < start_batch:
-                continue  # already covered by the checkpoint we resumed from
-            if stop_after_batches is not None and idx >= start_batch + stop_after_batches:
-                return None  # simulated crash: no flush, no checkpoint
-            n_rows += rb.num_rows
-            df = pd.DataFrame(
-                {
-                    "conv_id": rb.column("conv_id").to_pandas(),
-                    "ts_us": rb.column("ts").cast(pa.int64()).to_pandas(),
-                    "n_chars": _n_chars(rb.column("text")),
-                }
-            )
-            late = df.ts_us < watermark_us
-            late_rows += int(late.sum())
-            df = df[~late]
-            if len(df):
-                watermark_us = max(watermark_us, int(df.ts_us.max()) - self.lateness_us)
-                frags = _session_fragments(df, int(self.gap_s * US))
-                bucket = pd.util.hash_array(frags.conv_id.to_numpy(dtype=object)) % self.num_buckets
-                ray.get([
-                    actors[b].process.remote(frags[bucket == b], watermark_us)
-                    for b in range(self.num_buckets)
-                    if (bucket == b).any()
-                ])
-            if (idx + 1 - start_batch) % checkpoint_every == 0:
-                commit_seq = _commit_drained(commit_seq)
-                _checkpoint(idx + 1)
-
-        # end of stream: flush open state + final commit unless a previous
-        # run ALREADY finalized (explicit checkpoint marker — "nothing
-        # replayed" alone is not completion: a crash exactly between a
-        # last-batch-aligned barrier and the final flush leaves restored open
-        # state that still must be committed on resume)
-        if idx >= start_batch or not finalized:
-            parts = [p for p in ray.get([a.flush.remote() for a in actors]) if len(p)]
-            body = (
-                pd.concat(parts, ignore_index=True)
-                if parts
-                else pd.DataFrame(columns=["conv_id", "start_us", "end_us", "n_turns", "n_chars"])
-            )
-            commit_partition(
-                pa.Table.from_pandas(body, preserve_index=False), out_dir, commit_seq,
-                ts_col=None, lineage={"input": parquet_path, "kind": "stream-final"},
-            )
-            commit_seq += 1
-            _checkpoint(idx + 1, final=True)
-        return {"late_rows": late_rows, "final_watermark_us": int(watermark_us),
-                "partitions": commit_seq}
+        inner = ParallelCheckpointingSessionRunner(
+            gap_s=self.gap_s, lateness_s=self.lateness_s,
+            num_buckets=self.num_buckets, max_replayers=1,
+        )
+        return inner.run(parquet_path, out_dir, micro_batch_rows, checkpoint_every,
+                         _batches_to_epochs(stop_after_batches, checkpoint_every))
 
 
 # ---------------------------------------------------------------------------
@@ -1523,56 +1229,35 @@ class PairJoinActor:
 
 
 class StreamingJoinRunner:
-    """Arrival-order incremental turn-response join over the transcript log:
-    the streaming counterpart of ``stages.join.turn_response_join`` (equal
-    output when eviction_gap covers the stream's disorder — tested)."""
+    """Strictly-ordered incremental turn-response join: a thin
+    ``max_replayers=1`` wrapper over :class:`ParallelJoinRunner` (round-3
+    VERDICT #3 — one ingest code path). Equals the batch
+    ``stages.join.turn_response_join`` when eviction_gap covers the stream's
+    disorder (tested)."""
 
     def __init__(self, lateness_s: float = 3600.0, eviction_gap_s: float | None = None,
                  num_buckets: int = 8):
-        self.lateness_us = int(lateness_s * US)
+        self.lateness_s = lateness_s
         self.eviction_gap_s = eviction_gap_s if eviction_gap_s is not None else lateness_s
         self.num_buckets = num_buckets
 
     def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
-        actors = [PairJoinActor.remote(self.eviction_gap_s) for _ in range(self.num_buckets)]
-        watermark_us = -(1 << 62)
-        n_rows = 0
-
-        files = _shard_files(parquet_path)
-
-        for fp in files:
-            for rb in pq.ParquetFile(fp).iter_batches(
-                batch_size=micro_batch_rows,
-                columns=["conv_id", "turn_idx", "role", "text", "ts"],
-            ):
-                n_rows += rb.num_rows
-                df = _join_turns_df(rb)
-                watermark_us = max(watermark_us, int(df.ts_us.max()) - self.lateness_us)
-                bucket = pd.util.hash_array(df.conv_id.to_numpy(dtype=object)) % self.num_buckets
-                ray.get([
-                    actors[b].process.remote(df[bucket == b], watermark_us)
-                    for b in range(self.num_buckets) if (bucket == b).any()
-                ])
-
-        parts = [p for p in ray.get([a.drain.remote() for a in actors]) if len(p)]
-        pairs = (
-            pd.concat(parts, ignore_index=True)
-            if parts
-            else pd.DataFrame(columns=["conv_id", "turn_idx", "user_ts_us", "resp_ts_us",
-                                       "user_chars", "resp_chars"])
+        inner = ParallelJoinRunner(
+            lateness_s=self.lateness_s, eviction_gap_s=self.eviction_gap_s,
+            num_buckets=self.num_buckets, max_replayers=1,
         )
-        open_state = sum(ray.get([a.state_size.remote() for a in actors]))
-        return pairs, {"rows": n_rows, "pairs": int(len(pairs)), "open_state": open_state}
+        return inner.run(parquet_path, micro_batch_rows)
 
 
 class CheckpointingJoinRunner(StreamingJoinRunner):
-    """Streaming turn-response join with periodic consistent checkpoints and
-    exactly-once committed pair output, resumable mid-stream — the join
-    counterpart of :class:`CheckpointingSessionRunner` (same barrier recipe:
-    drain buffered emissions → atomic partition commit → snapshot pending
-    state + replay offset + watermark)."""
+    """Strictly-ordered checkpointing turn-response join: a thin
+    ``max_replayers=1`` wrapper over
+    :class:`ParallelCheckpointingJoinRunner` — the join counterpart of
+    :class:`CheckpointingSessionRunner` (same epoch barrier recipe: drain
+    buffered emissions → atomic partition commit → snapshot pending state +
+    replay offset + watermark)."""
 
-    def run(  # noqa: C901 - checkpoint state machine
+    def run(
         self,
         parquet_path: str,
         out_dir: str,
@@ -1580,107 +1265,12 @@ class CheckpointingJoinRunner(StreamingJoinRunner):
         checkpoint_every: int = 10,
         stop_after_batches: int | None = None,  # crash-injection hook (tests)
     ):
-        import json
-        import os
-
-        from pipeflow_ray.state.manifest import commit_partition, prepare_sink
-
-        prepare_sink(out_dir)
-        ck_dir = os.path.join(out_dir, "_checkpoints")
-        os.makedirs(ck_dir, exist_ok=True)
-        ck_json = os.path.join(ck_dir, "latest.json")
-
-        actors = [PairJoinActor.remote(self.eviction_gap_s) for _ in range(self.num_buckets)]
-
-        start_batch = 0
-        watermark_us = -(1 << 62)
-        commit_seq = 0
-        finalized = False  # did a previous run already commit the final partition?
-        if os.path.exists(ck_json):
-            with open(ck_json) as f:
-                ck = json.load(f)
-            start_batch = ck["next_batch"]
-            watermark_us = ck["watermark_us"]
-            commit_seq = ck["commit_seq"]
-            finalized = ck.get("finalized", False)
-            state_df = pd.read_parquet(os.path.join(ck_dir, ck["state_file"]))
-            bucket = pd.util.hash_array(state_df.conv_id.to_numpy(dtype=object)) % self.num_buckets
-            ray.get([
-                actors[b].load_state.remote(state_df[bucket == b])
-                for b in range(self.num_buckets)
-            ])
-
-        def _commit_drained(seq: int) -> int:
-            parts = [p for p in ray.get([a.drain.remote() for a in actors]) if len(p)]
-            body = (
-                pd.concat(parts, ignore_index=True)
-                if parts
-                else pd.DataFrame(columns=["conv_id", "turn_idx", "user_ts_us",
-                                           "resp_ts_us", "user_chars", "resp_chars"])
-            )
-            commit_partition(
-                pa.Table.from_pandas(body, preserve_index=False), out_dir, seq,
-                ts_col=None,
-                lineage={"input": parquet_path, "kind": "join-checkpoint", "seq": seq},
-            )
-            return seq + 1
-
-        def _checkpoint(next_batch: int, final: bool = False) -> None:
-            states = pd.concat(
-                ray.get([a.dump_state.remote() for a in actors]), ignore_index=True
-            )
-            state_file = f"state-{next_batch:08d}.parquet"
-            tmp = os.path.join(ck_dir, state_file + ".tmp")
-            states.to_parquet(tmp)
-            os.replace(tmp, os.path.join(ck_dir, state_file))
-            rec = {"next_batch": next_batch, "watermark_us": watermark_us,
-                   "commit_seq": commit_seq, "state_file": state_file,
-                   "finalized": final}
-            tmpj = ck_json + ".tmp"
-            with open(tmpj, "w") as f:
-                json.dump(rec, f)
-            os.replace(tmpj, ck_json)  # atomic: checkpoint becomes visible
-
-        files = sorted(
-            os.path.join(parquet_path, f)
-            for f in os.listdir(parquet_path) if f.endswith(".parquet")
-        ) if os.path.isdir(parquet_path) else [parquet_path]
-
-        def _batches():
-            for fp in files:
-                yield from pq.ParquetFile(fp).iter_batches(
-                    batch_size=micro_batch_rows,
-                    columns=["conv_id", "turn_idx", "role", "text", "ts"],
-                )
-
-        idx = -1
-        for idx, rb in enumerate(_batches()):
-            if idx < start_batch:
-                continue  # covered by the checkpoint we resumed from
-            if stop_after_batches is not None and idx >= start_batch + stop_after_batches:
-                return None  # simulated crash: no flush, no checkpoint
-            df = _join_turns_df(rb)
-            watermark_us = max(watermark_us, int(df.ts_us.max()) - self.lateness_us)
-            bucket = pd.util.hash_array(df.conv_id.to_numpy(dtype=object)) % self.num_buckets
-            ray.get([
-                actors[b].process.remote(df[bucket == b], watermark_us)
-                for b in range(self.num_buckets) if (bucket == b).any()
-            ])
-            if (idx + 1 - start_batch) % checkpoint_every == 0:
-                commit_seq = _commit_drained(commit_seq)
-                _checkpoint(idx + 1)
-
-        # end of stream: final commit + checkpoint unless a previous run
-        # ALREADY finalized (explicit marker, not inferred from idx — a
-        # crash between a last-batch-aligned barrier and the final commit
-        # must still finalize on resume; a completed job's re-run must not
-        # accumulate empty partitions)
-        if idx >= start_batch or not finalized:
-            commit_seq = _commit_drained(commit_seq)
-            _checkpoint(idx + 1, final=True)
-        open_state = sum(ray.get([a.state_size.remote() for a in actors]))
-        return {"final_watermark_us": int(watermark_us), "partitions": commit_seq,
-                "open_state": open_state}
+        inner = ParallelCheckpointingJoinRunner(
+            lateness_s=self.lateness_s, eviction_gap_s=self.eviction_gap_s,
+            num_buckets=self.num_buckets, max_replayers=1,
+        )
+        return inner.run(parquet_path, out_dir, micro_batch_rows, checkpoint_every,
+                         _batches_to_epochs(stop_after_batches, checkpoint_every))
 
 
 # ---------------------------------------------------------------------------
