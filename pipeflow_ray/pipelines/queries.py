@@ -980,6 +980,114 @@ def streaming_quantiles_transcripts(sf_dir):
     return result
 
 
+_SKETCH_QS = (0.25, 0.5, 0.75)
+_SKETCH_EPS = 0.02  # tolerated normalized rank error; KLL k=400 delivers ~0.3%
+
+
+def _sketch_within(ds, key_col, value_col, est, qs=_SKETCH_QS, eps=_SKETCH_EPS):
+    """Distributed tolerance audit for sketch quantile estimates: exact
+    ``count(x ≤ est_q)`` per (key, q) via per-batch vectorized counts + the
+    partial-aggregate combiner (a second streaming pass — the estimates
+    table is 3 rows, broadcast by closure capture), then the per-key
+    percentile_disc rank-error readout: the estimate passes when its true
+    rank is within ``eps·n`` of ``q·n`` (the rank DuckDB ``quantile_disc``
+    selects). Returns (key, n, n_within) — n exact, n_within = #quantiles
+    inside tolerance."""
+    import numpy as _np
+
+    qcols = [f"p{int(round(q * 100)):02d}" for q in qs]
+    thresholds = {
+        row[key_col]: _np.array([row[c] for c in qcols], _np.float64)
+        for _, row in est.iterrows()
+    }
+
+    def _counts(df):
+        vals = df[value_col].to_numpy(_np.float64)
+        out = {key_col: [], "n_part": []}
+        for i in range(len(qs)):
+            out[f"c{i}"] = []
+        for kv, idx in df.groupby(key_col, sort=False).indices.items():
+            th = thresholds.get(kv)
+            if th is None:
+                continue
+            v = vals[idx]
+            out[key_col].append(kv)
+            out["n_part"].append(len(v))
+            for i, t in enumerate(th):
+                out[f"c{i}"].append(int((v <= t).sum()))
+        return pd.DataFrame(out)
+
+    specs = {"n": ("sum", "n_part")}
+    for i in range(len(qs)):
+        specs[f"r{i}"] = ("sum", f"c{i}")
+    agg = partial_aggregate(
+        ds.map_batches(_counts, batch_format="pandas"), [key_col], specs
+    ).to_pandas()
+
+    n = agg["n"].to_numpy(_np.float64)
+    within = _np.zeros(len(agg), _np.int64)
+    for i, q in enumerate(qs):
+        within += (
+            _np.abs(agg[f"r{i}"].to_numpy(_np.float64) - q * n) <= eps * n
+        ).astype(_np.int64)
+    return pd.DataFrame(
+        {key_col: agg[key_col], "n": agg["n"].astype("int64"), "n_within": within}
+    )
+
+
+@q(
+    "sketch_quantiles_price",
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+              CAST(3 AS BIGINT) AS n_within
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def sketch_quantiles_price(sf_dir):
+    """APPROXIMATE grouped quantiles over an unbounded CONTINUOUS domain
+    (l_extendedprice: ~99.7% distinct — the case where exact value
+    histograms degrade toward O(rows) state): mergeable KLL sketches, one
+    per (batch, key), merged commutatively after one key exchange
+    (stages/window.grouped_quantiles_sketch; round-3 VERDICT #2). The gate
+    is a rank-error audit against the percentile_disc rank DuckDB
+    quantile_disc would select: a second distributed pass counts each
+    estimate's exact rank; n_within = quantiles within ±2% normalized rank
+    (KLL k=400 measures ~0.3%); n is exact."""
+    from pipeflow_ray.stages.window import grouped_quantiles_sketch
+
+    cols = ["l_returnflag", "l_extendedprice"]
+    est = grouped_quantiles_sketch(
+        _lineitem(sf_dir, cols), ["l_returnflag"], "l_extendedprice",
+        qs=_SKETCH_QS,
+    ).to_pandas()
+    return _sketch_within(_lineitem(sf_dir, cols), "l_returnflag",
+                          "l_extendedprice", est)
+
+
+@q(
+    "streaming_sketch_quantiles",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(3 AS BIGINT) AS n_within
+       FROM events GROUP BY event_type""",
+)
+def streaming_sketch_quantiles(sf_dir):
+    """STREAMING approximate grouped quantiles on ingest over a continuous
+    domain (events.value, ~90% distinct): replayers shrink micro-batches to
+    per-key KLL sketches, bucket actors merge them commutatively, quantiles
+    read at flush — state O(keys · k · log(n/k)) vs the exact runner's
+    O(distinct values) (pipelines/streaming.StreamingSketchQuantileRunner).
+    Audited like sketch_quantiles_price: exact rank counts of the sketch
+    estimates within ±2% of the quantile_disc target ranks."""
+    from pipeflow_ray.pipelines.streaming import StreamingSketchQuantileRunner
+
+    runner = StreamingSketchQuantileRunner(
+        "event_type", qs=_SKETCH_QS, columns=["event_type", "value"],
+        num_buckets=4,
+    )
+    est, _metrics = runner.run(f"{sf_dir}/events.parquet")
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return _sketch_within(ds, "event_type", "value", est)
+
+
 _CEP_MULTI_SQL = f"""WITH s AS (
       SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS ts_us,
              lead(role, 1) OVER w AS role1, lead(role, 2) OVER w AS role2,

@@ -2019,6 +2019,133 @@ class StreamingQuantileRunner:
 
 
 @ray.remote(num_cpus=0.25)
+class SketchQuantileBucketActor:
+    """KLL-sketch state for one hash bucket of keys: ``key → KLLSketch``.
+    Commutative merge (any shard interleaving), state O(keys · k · log(n/k))
+    floats REGARDLESS of the value domain — the unbounded-continuous-domain
+    sibling of :class:`QuantileBucketActor`'s exact histograms (round-3
+    VERDICT #2)."""
+
+    def __init__(self, k: int = 400):
+        self.k = k
+        self.sketches: dict = {}
+
+    def process(self, partials: pd.DataFrame) -> None:
+        from pipeflow_ray.functions.sketches import KLLSketch
+
+        sketches = self.sketches
+        for key, blob in partials.itertuples(index=False, name=None):
+            sk = sketches.get(key)
+            incoming = KLLSketch.loads(blob)
+            if sk is None:
+                sketches[key] = incoming
+            else:
+                sk.merge(incoming)
+
+    def state_size(self) -> int:
+        return int(sum(sk.size() for sk in self.sketches.values()))
+
+    def flush_quantiles(self, qs: tuple, out_names: list) -> pd.DataFrame:
+        rows = []
+        for key, sk in self.sketches.items():
+            rows.append((key, sk.n, *sk.quantiles(qs)))
+        return pd.DataFrame(rows, columns=["key", "n", *out_names])
+
+
+@ray.remote(num_cpus=0.5)
+def _replay_sketch_shard(files: list, key_col: str, value_fn,
+                         micro_batch_rows: int, columns: list, k: int,
+                         *buckets) -> int:
+    """Stream one shard group: decode → derive (key, float value) → one KLL
+    sketch per (batch, key) (the combiner: rows never leave the replayer) →
+    route sketch blobs to bucket actors. Module-level task, explicit args
+    (long-session rule)."""
+    from pipeflow_ray.functions.sketches import KLLSketch
+
+    nb = len(buckets)
+    rows = 0
+    pending: list = []
+    for f in files:
+        for rb in pq.ParquetFile(str(f)).iter_batches(
+            batch_size=micro_batch_rows, columns=columns
+        ):
+            t = pa.Table.from_batches([rb])
+            if value_fn is not None:
+                t = value_fn(t)
+            df = pd.DataFrame({"key": t[key_col].to_pandas(),
+                               "value": t["value"].to_pandas().astype(np.float64)})
+            rows += len(df)
+            vals = df["value"].to_numpy()
+            key_rows, blobs = [], []
+            for kv, idx in df.groupby("key", sort=False).indices.items():
+                sk = KLLSketch(k)
+                sk.update_many(vals[idx])
+                key_rows.append(kv)
+                blobs.append(sk.dumps())
+            partials = pd.DataFrame({"key": key_rows, "blob": blobs})
+            b = pd.util.hash_array(partials.key.to_numpy(dtype=object)) % nb
+            pending.extend(
+                buckets[j].process.remote(partials[b == j])
+                for j in range(nb) if (b == j).any()
+            )
+            if len(pending) > 256:
+                ray.get(pending)
+                pending = []
+    if pending:
+        ray.get(pending)
+    return rows
+
+
+class StreamingSketchQuantileRunner:
+    """Single-pass streaming APPROXIMATE grouped quantiles over unbounded
+    continuous value domains: replayers shrink each micro-batch to per-key
+    KLL sketches, bucket actors merge them commutatively (shard interleaving
+    changes nothing beyond the sketch's own error bound), and the flush reads
+    quantiles off the merged sketches — state is O(keys · k · log(n/k))
+    floats where :class:`StreamingQuantileRunner`'s exact histograms would
+    hold one entry per distinct value. Rank error ≈ 2.3/k whp; ``n`` exact."""
+
+    def __init__(self, key_col: str, qs=(0.25, 0.5, 0.75), value_fn=None,
+                 columns: "list[str] | None" = None, k: int = 400,
+                 num_buckets: int = 8, max_replayers: int = 16):
+        self.key_col = key_col
+        self.qs = tuple(qs)
+        self.value_fn = value_fn  # table→table adding a float64 ``value`` column
+        self.columns = columns or [key_col, "value"]
+        self.k = k
+        self.num_buckets = num_buckets
+        self.max_replayers = max_replayers
+
+    def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
+        files = _shard_files(parquet_path)
+        groups = _shard_groups(files, self.max_replayers)
+        actors = [SketchQuantileBucketActor.remote(self.k)
+                  for _ in range(self.num_buckets)]
+        fn_ref = ray.put(self.value_fn) if self.value_fn is not None else None
+        rows = ray.get([
+            _replay_sketch_shard.remote(g, self.key_col, fn_ref,
+                                        micro_batch_rows, self.columns,
+                                        self.k, *actors)
+            for g in groups
+        ])
+        out_names = [f"p{int(round(q * 100)):02d}" for q in self.qs]
+        parts = [f for f in ray.get([
+            a.flush_quantiles.remote(self.qs, out_names) for a in actors
+        ]) if len(f)]
+        state = int(sum(ray.get([a.state_size.remote() for a in actors])))
+        if parts:
+            result = pd.concat(parts, ignore_index=True) \
+                .rename(columns={"key": self.key_col})
+        else:
+            result = pd.DataFrame(columns=[self.key_col, "n", *out_names])
+        metrics = {"rows": int(sum(rows)), "keys": int(len(result)),
+                   "retained_items": state, "shards": len(files),
+                   "replayers": len(groups),
+                   "replayer_rows": [int(r) for r in rows]}
+        return result, metrics
+
+
+@ray.remote(num_cpus=0.25)
 class VocabBucketActor:
     """Vocabulary state for one hash bucket of tokens: ``token → [document
     frequency, total term frequency]``. Commutative merge; state is

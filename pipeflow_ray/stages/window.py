@@ -403,6 +403,95 @@ def grouped_quantiles(
                              batch_format="pandas")
 
 
+def _sketch_partial(df, keys, value_col, k):
+    """Per-batch combiner: one KLL sketch per key present in the batch
+    (numpy-vectorized update per group; the per-batch loop is over DISTINCT
+    keys, not rows). Emits (keys..., __sk bytes) — rows shrink to sketches
+    BEFORE the exchange."""
+    import pandas as pd
+
+    from pipeflow_ray.functions.sketches import KLLSketch
+
+    if not len(df):
+        return pd.DataFrame(columns=[*keys, "__sk"])
+    vals = df[value_col].to_numpy(np.float64)
+    key_rows, blobs = [], []
+    for kv, idx in df.groupby(keys, sort=False).indices.items():
+        sk = KLLSketch(k)
+        sk.update_many(vals[idx])
+        key_rows.append(kv if isinstance(kv, tuple) else (kv,))
+        blobs.append(sk.dumps())
+    out = pd.DataFrame(key_rows, columns=list(keys))
+    out["__sk"] = blobs
+    return out
+
+
+def _sketch_reduce(df, keys, qs, out_names, count_name, k):
+    """Per-bucket reduce: merge each key's sketches (commutative — any
+    arrival order), read quantiles off the merged sketch."""
+    import pandas as pd
+
+    from pipeflow_ray.functions.sketches import KLLSketch
+
+    blobs = df["__sk"].to_numpy()
+    key_rows, ns, qcols = [], [], [[] for _ in qs]
+    for kv, idx in df.groupby(list(keys), sort=False).indices.items():
+        sk = KLLSketch(k)
+        for j in idx:
+            sk.merge(KLLSketch.loads(blobs[j]))
+        key_rows.append(kv if isinstance(kv, tuple) else (kv,))
+        ns.append(sk.n)
+        for col, v in zip(qcols, sk.quantiles(qs)):
+            col.append(v)
+    out = pd.DataFrame(key_rows, columns=list(keys))
+    out[count_name] = np.asarray(ns, np.int64)
+    for name, col in zip(out_names, qcols):
+        out[name] = np.asarray(col, np.float64)
+    return out
+
+
+def grouped_quantiles_sketch(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    qs=(0.25, 0.5, 0.75),
+    out_names: "list[str] | None" = None,
+    count_name: str = "n",
+    k: int = 400,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed APPROXIMATE grouped quantiles via mergeable KLL sketches —
+    the unbounded-continuous-domain path (round-3 VERDICT #2), where
+    :func:`grouped_quantiles`' exact value histograms would degrade toward
+    O(rows) state.
+
+    Shape: a per-batch combiner builds one sketch per (batch, key) — O(k ·
+    log(batch/k)) bytes each, NOT a histogram — one key exchange co-locates
+    each key's sketches, and the per-bucket reduce merges them (commutative,
+    any order) and reads the quantiles. Shuffle volume is O(keys_per_batch ×
+    sketch_size) per batch regardless of value cardinality; nothing ever
+    materializes per-row state. Normalized rank error ≈ 2.3/k whp (k=400 →
+    ~0.6%); ``n`` is exact."""
+    import functools
+
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    qs = tuple(qs)
+    if out_names is None:
+        out_names = [f"p{int(round(q * 100)):02d}" for q in qs]
+
+    part = ds.map_batches(
+        functools.partial(_sketch_partial, keys=list(keys), value_col=value_col, k=k),
+        batch_format="pandas",
+    )
+    red = functools.partial(
+        _sketch_reduce, keys=list(keys), qs=qs, out_names=list(out_names),
+        count_name=count_name, k=k,
+    )
+    return grouped_by_bucket(part, list(keys), red, num_buckets=num_buckets,
+                             batch_format="pandas")
+
+
 def _analytics_reduce(df, key, order, specs):
     """Per-bucket ordered analytics: one mergesort, then C-level pandas
     groupby shift/diff/cumsum/cumcount per spec — no per-key Python."""

@@ -1,0 +1,127 @@
+"""Round-4 additions: mergeable KLL quantile sketch (the unbounded
+continuous-domain path — round-3 VERDICT #2), batch + streaming."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from pipeflow_ray.functions.sketches import KLLSketch
+
+
+def _true_rank(sorted_vals: np.ndarray, v: float) -> float:
+    return np.searchsorted(sorted_vals, v, side="right") / len(sorted_vals)
+
+
+QS = (0.01, 0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def test_kll_state_bound_and_rank_error_on_continuous_domain():
+    """300k all-distinct floats: retained state must be ~O(k·log(n/k)) — a
+    tiny fraction of the distinct count (the exact-histogram path would hold
+    all 300k) — and every estimate within 1% normalized rank."""
+    rng = np.random.default_rng(11)
+    n = 300_000
+    vals = rng.standard_normal(n) * 50.0  # unbounded continuous
+    sk = KLLSketch(400)
+    for off in range(0, n, 8192):
+        sk.update_many(vals[off:off + 8192])
+    assert sk.n == n
+    assert sk.size() < 2000  # vs 300k distinct values: ≥150× smaller
+    sv = np.sort(vals)
+    for q, est in zip(QS, sk.quantiles(QS)):
+        assert abs(_true_rank(sv, est) - q) < 0.01, q
+
+
+def test_kll_merge_is_order_insensitive_within_tolerance():
+    """Merging shard sketches in any order must keep n exact and every
+    quantile inside the error bound (commutativity up to sketch error —
+    what makes shard-interleaved streaming ingest safe)."""
+    rng = np.random.default_rng(5)
+    vals = rng.exponential(10.0, 120_000)
+    sv = np.sort(vals)
+    chunks = [vals[i::9] for i in range(9)]
+
+    def build(c):
+        s = KLLSketch(400)
+        s.update_many(c)
+        return s
+
+    for order in (range(9), reversed(range(9))):
+        merged = KLLSketch(400)
+        for i in order:
+            merged.merge(build(chunks[i]))
+        assert merged.n == len(vals)
+        for q, est in zip(QS, merged.quantiles(QS)):
+            assert abs(_true_rank(sv, est) - q) < 0.01, q
+
+
+def test_kll_serialization_roundtrip_bit_exact():
+    rng = np.random.default_rng(3)
+    sk = KLLSketch(200)
+    sk.update_many(rng.random(50_000))
+    back = KLLSketch.loads(sk.dumps())
+    assert back.n == sk.n and back.k == sk.k and back.size() == sk.size()
+    assert np.array_equal(back.quantiles(QS), sk.quantiles(QS))
+    empty = KLLSketch.loads(KLLSketch(200).dumps())
+    assert empty.n == 0 and np.isnan(empty.quantiles((0.5,))).all()
+
+
+def _keyed_continuous(n=60_000, seed=7):
+    rng = np.random.default_rng(seed)
+    key = rng.choice(["a", "b", "c"], n, p=[0.6, 0.3, 0.1])
+    val = np.where(key == "a", rng.standard_normal(n) * 9.0,
+                   rng.exponential(25.0, n))
+    return pd.DataFrame({"k": key, "v": val})
+
+
+def test_grouped_quantiles_sketch_within_tolerance():
+    """Batch operator: per-key estimates within 1% rank of the exact
+    distribution, n exact per key."""
+    from pipeflow_ray.stages.window import grouped_quantiles_sketch
+
+    df = _keyed_continuous()
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = grouped_quantiles_sketch(ds, ["k"], "v", qs=(0.25, 0.5, 0.75)).to_pandas()
+    assert sorted(out.k) == ["a", "b", "c"]
+    for _, row in out.iterrows():
+        g = np.sort(df.loc[df.k == row.k, "v"].to_numpy())
+        assert row.n == len(g)
+        for q, col in zip((0.25, 0.5, 0.75), ("p25", "p50", "p75")):
+            assert abs(_true_rank(g, row[col]) - q) < 0.01, (row.k, q)
+
+
+def test_streaming_sketch_quantiles_multishard(tmp_path):
+    """Streaming runner over 6 shards: n exact, estimates within tolerance,
+    and retained state a small fraction of the distinct-value count (the
+    state-size bound the exact histogram runner cannot give on continuous
+    domains)."""
+    import os
+
+    from pipeflow_ray.pipelines.streaming import StreamingSketchQuantileRunner
+
+    df = _keyed_continuous(n=90_000, seed=13)
+    shard_dir = str(tmp_path / "shards")
+    os.makedirs(shard_dir)
+    t = pa.table({"k": df.k.to_numpy(), "value": df.v.to_numpy()})
+    per = (t.num_rows + 5) // 6
+    for i in range(6):
+        pq.write_table(t.slice(i * per, per),
+                       os.path.join(shard_dir, f"part-{i:05d}.parquet"))
+
+    runner = StreamingSketchQuantileRunner("k", qs=(0.25, 0.5, 0.75),
+                                           columns=["k", "value"],
+                                           num_buckets=4, max_replayers=3)
+    out, metrics = runner.run(shard_dir, micro_batch_rows=4096)
+    assert metrics["rows"] == len(df)
+    n_distinct = df.v.nunique()
+    assert metrics["retained_items"] < n_distinct * 0.05  # sketch, not histogram
+    for _, row in out.iterrows():
+        g = np.sort(df.loc[df.k == row.k, "v"].to_numpy())
+        assert row.n == len(g)
+        for q, col in zip((0.25, 0.5, 0.75), ("p25", "p50", "p75")):
+            assert abs(_true_rank(g, row[col]) - q) < 0.01, (row.k, q)
