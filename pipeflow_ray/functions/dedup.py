@@ -325,27 +325,38 @@ def attach_by_id(
     return ray.data.from_arrow_refs(refs) if refs else ray.data.from_items([])
 
 
+@_functools.lru_cache(maxsize=8)
+def _cached_id_union(refs: tuple) -> pa.Array:
+    """Per-WORKER-process union of candidate-id blocks: each worker fetches
+    the O(candidates) int64 blocks from plasma once (lru per process — the
+    `cached_broadcast` pattern) and unions them locally. The union never
+    exists on the driver."""
+    tbl = pa.concat_tables(ray.get(list(refs)), promote_options="default")
+    return pa.array(np.unique(tbl["i"].to_numpy(zero_copy_only=False)), pa.int64())
+
+
 def _candidate_id_filter(pairs: ray.data.Dataset, id_col: str):
-    """Distinct candidate ids as a broadcast semi-join filter. The id list is
-    O(candidate docs) int64s — at 1B docs with 0.1% candidates that is ~8 MB,
-    broadcast once via the captured Arrow array."""
+    """Distinct candidate ids as a semi-join filter over the docs read —
+    WITHOUT exchanging the heavy docs side (the alternative, a co-partitioned
+    semi_join, would ship every doc's text through a hash exchange just to
+    drop most of it) and WITHOUT driver materialization (round-3 VERDICT #6):
+    the per-block distinct id tables stay in plasma; only their ObjectRefs
+    ride the filter closure, and each worker assembles the union once. The
+    id set is O(candidate docs) int64s — at 1B docs with 0.1% candidates
+    ~8 MB per worker."""
     def _ids_batch(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False)
         b = t["id_b"].to_numpy(zero_copy_only=False)
         return pa.table({"i": pa.array(np.unique(np.concatenate([a, b])), pa.int64())})
 
     ids = pairs.map_batches(_ids_batch, batch_format="pyarrow").materialize()
-    # per-block distinct above, final distinct on the driver: the id table is
-    # already O(candidates) ints, so np.unique here is cheaper than the
-    # groupby shuffle a distributed ``unique()`` schedules — ints only, never
-    # text/signatures
-    tbl = pa.concat_tables(ray.get(ids.to_arrow_refs()), promote_options="default")
-    id_arr = pa.array(np.unique(tbl["i"].to_numpy(zero_copy_only=False)), pa.int64())
+    refs = tuple(ids.to_arrow_refs())  # refs only — no driver block fetch
+    n_upper = ids.count()  # metadata rows: per-block-distinct upper bound
 
     def _filter(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t[id_col], value_set=id_arr))
+        return t.filter(pc.is_in(t[id_col], value_set=_cached_id_union(refs)))
 
-    return _filter, len(id_arr)
+    return _filter, n_upper
 
 
 _EMPTY_JACCARD = pa.schema(

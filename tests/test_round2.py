@@ -40,17 +40,32 @@ def _corpus() -> pa.Table:
 
 class _NoPutRayProxy:
     """Forwards every attribute to the real ray module but fails the test if
-    the instrumented module ever calls ``ray.put`` — the round-1 scale-killer
-    was broadcasting whole-corpus signature/text dicts from the driver."""
+    the instrumented module ever calls ``ray.put`` (the round-1 scale-killer:
+    broadcasting whole-corpus signature/text dicts from the driver) or
+    fetches Arrow BLOCKS with ``ray.get`` in the driver process (the round-3
+    finding: the candidate-id union must assemble in workers; the driver may
+    ray.get only scalars like row counts)."""
 
     def __getattr__(self, name):
         if name == "put":
             raise AssertionError("functions.dedup must not ray.put driver-side objects")
+        if name == "get":
+
+            def _guarded_get(x, **kw):
+                r = ray.get(x, **kw)
+                items = r if isinstance(r, list) else [r]
+                assert not any(isinstance(v, (pa.Table, pd.DataFrame)) for v in items), (
+                    "functions.dedup fetched data blocks onto the driver"
+                )
+                return r
+
+            return _guarded_get
         return getattr(ray, name)
 
 
 def test_minhash_pipeline_no_driver_broadcast(monkeypatch):
     monkeypatch.setattr(D, "ray", _NoPutRayProxy())
+
     pairs = D.minhash_dedup_pairs(ray.data.from_arrow(_corpus()), threshold=0.6).to_pandas()
     assert (0, 1) in set(zip(pairs.id_a, pairs.id_b))
     assert (2, 3) not in set(zip(pairs.id_a, pairs.id_b))
