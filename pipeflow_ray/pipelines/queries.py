@@ -1202,6 +1202,77 @@ def streaming_cep_kleene(sf_dir):
     return matches
 
 
+# suffix-free Kleene: long turn → maximal run of short turns, NO closing
+# step (round-3 VERDICT #7) — the oracle is the same gaps-and-islands SQL
+# with the run's own last row as the match end
+_CEP_KLEENE_OPEN_SQL = f"""WITH r AS (
+      SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us,
+             length(coalesce(text, '')) AS nc
+      FROM read_parquet('{_TP001}')),
+    runs AS (
+      SELECT conv_id, min(turn_idx) AS r0, max(turn_idx) AS r1,
+             CAST(count(*) AS BIGINT) AS run_len
+      FROM (SELECT conv_id, turn_idx,
+                   turn_idx - row_number() OVER (PARTITION BY conv_id
+                                                 ORDER BY turn_idx) AS isl
+            FROM r WHERE nc < 300)
+      GROUP BY conv_id, isl)
+    SELECT runs.conv_id, CAST(p.turn_idx AS BIGINT) AS start_turn_idx,
+           CAST(e.turn_idx AS BIGINT) AS end_turn_idx,
+           CAST(p.ts_us AS BIGINT) AS start_ts_us,
+           CAST(e.ts_us AS BIGINT) AS end_ts_us, run_len
+    FROM runs
+    JOIN r p ON p.conv_id = runs.conv_id AND p.turn_idx = runs.r0 - 1
+            AND p.nc >= 1000
+    JOIN r e ON e.conv_id = runs.conv_id AND e.turn_idx = runs.r1
+    WHERE e.ts_us - p.ts_us BETWEEN 0 AND 1800000000"""
+
+_KLEENE_OPEN_STEPS = [{"nc": (">=", 1000)}, ("+", {"nc": ("<", 300)})]
+
+
+@q("cep_kleene_open_turns", _CEP_KLEENE_OPEN_SQL)
+def cep_kleene_open_turns(sf_dir):
+    """SUFFIX-FREE Kleene-plus: a long turn (≥1000 chars) followed by a
+    greedy maximal run of short turns (<300 chars) within 30 minutes — no
+    closing step (run maximality comes from the next row being long, a
+    conversation end, or a turn gap). Same scan kernel as cep_kleene_turns
+    with n_post = 0."""
+    from pipeflow_ray.stages.cep import match_kleene
+
+    ds = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id", "turn_idx", "text", "ts"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "ts": t["ts"],
+                "nc": pc.utf8_length(pc.fill_null(t["text"], "")).cast(pa.int64()),
+            }
+        )
+
+    return match_kleene(ds.map_batches(_prep, batch_format="pyarrow"),
+                        _KLEENE_OPEN_STEPS, within_us=1_800_000_000)
+
+
+@q("streaming_cep_kleene_open", _CEP_KLEENE_OPEN_SQL)
+def streaming_cep_kleene_open(sf_dir):
+    """STREAMING suffix-free Kleene (round-3 VERDICT #7): with no closing
+    step inside the span, maximal runs seal by WATERMARK TIMEOUT — emitted
+    exactly-once when the global min-watermark passes ``run_end + seal_gap``
+    (4h here, above the fixture's largest intra-conversation turn gap, so
+    the result equals the batch scan — the shared oracle)."""
+    from pipeflow_ray.pipelines.streaming import ParallelKleeneRunner
+
+    runner = ParallelKleeneRunner(
+        _KLEENE_OPEN_STEPS, within_us=1_800_000_000, lateness_s=3 * 3600.0,
+        num_buckets=8, seal_gap_s=4 * 3600.0,
+        derive=_derive_nc, read_columns=["conv_id", "turn_idx", "text", "ts"],
+    )
+    matches, _metrics = runner.run(_tp(sf_dir))
+    return matches
+
+
 _CEP_ABSENCE_SQL = f"""WITH s AS (
       SELECT conv_id, turn_idx, role, epoch_us(ts) AS ts_us,
              lead(role, 1) OVER w AS role1,

@@ -1664,24 +1664,47 @@ class ParallelAbsenceRunner(_ParallelReplayBase):
 @ray.remote(num_cpus=0.25)
 class KleeneBucketActor:
     """Streaming Kleene-plus state for one hash bucket (the streaming form
-    of :func:`pipeflow_ray.stages.cep.match_kleene`, restricted to patterns
-    with ≥1 fixed prefix AND ≥1 fixed suffix step — then a candidate match
-    is decidable exactly when its LAST row seals: every boundary row that
-    determines run maximality is inside the span, and a sealed missing turn
-    can never arrive on time (per-key monotonic event time).
+    of :func:`pipeflow_ray.stages.cep.match_kleene`).
 
-    Emission: ``prev_wm ≤ end_ts < wm`` — each match's last row seals
-    exactly once. Retention: per key, everything after (and n_pre rows up
-    to) the last sealed *breaker* row — a sealed row that is non-B or
-    chain-broken, which no future run can cross."""
+    With ≥1 fixed suffix step, a candidate match is decidable exactly when
+    its LAST row seals: every boundary row that determines run maximality is
+    inside the span, and a sealed missing turn can never arrive on time
+    (per-key monotonic event time). Emission: ``prev_wm ≤ end_ts < wm``.
+
+    SUFFIX-FREE patterns (n_post == 0, round-3 VERDICT #7) have no in-span
+    evidence that the run ended, so maximality seals by WATERMARK TIMEOUT:
+    a run is emitted once ``wm`` passes ``end_ts + seal_gap_us`` and no
+    arrived row extends it. This equals the batch scan whenever consecutive
+    turns within a run are ≤ ``seal_gap_us`` apart in event time (the
+    session-gap contract — a later extension would be a new episode; an
+    extension arriving past the gap diverges from batch by design,
+    documented in COVERAGE.md).
+
+    Prefix steps are optional (n_pre ≥ 0): start maximality only depends on
+    rows at event times ≤ the run start, which are sealed-or-late once the
+    emission rule fires.
+
+    Retention: per key, everything after (and n_pre rows up to) the last
+    sealed *breaker* row — a sealed row that is non-B or chain-broken, which
+    no future run can cross; in timeout mode "sealed" means past the seal
+    gap, so an emitted run's rows never linger (and a checkpoint resume,
+    which resets prev_wm, can never see enough retained context to re-emit
+    — the prefix rows of an emitted match are always dropped)."""
 
     def __init__(self, n_pre: int, n_post: int, within_us: int | None,
-                 key: str = "conv_id", order: str = "turn_idx"):
-        if n_pre < 1 or n_post < 1:
-            raise ValueError("streaming Kleene needs >=1 fixed prefix and suffix step")
+                 key: str = "conv_id", order: str = "turn_idx",
+                 seal_gap_us: int | None = None):
+        if n_pre < 0 or n_post < 0:
+            raise ValueError("negative step counts")
+        if n_post < 1 and seal_gap_us is None:
+            raise ValueError(
+                "suffix-free streaming Kleene needs seal_gap_us "
+                "(watermark-timeout sealing of maximal runs)"
+            )
         self.n_pre = n_pre
         self.n_post = n_post
         self.within_us = within_us
+        self.seal_gap_us = seal_gap_us
         self.key = key
         self.order = order
         self.parts: list[pd.DataFrame] = []
@@ -1708,7 +1731,13 @@ class KleeneBucketActor:
         matches = scan_kleene(df, self.n_pre, self.n_post, self.within_us,
                               key=self.key, order=self.order, assume_sorted=True)
         end_ts = matches.end_ts_us.to_numpy()
-        newly = matches[(end_ts < watermark_us) & (end_ts >= self.prev_wm)]
+        if self.n_post >= 1:
+            # the suffix row IS the end row: its sealing decides the match
+            newly = matches[(end_ts < watermark_us) & (end_ts >= self.prev_wm)]
+        else:
+            # timeout sealing: maximal once the watermark passes the gap
+            seal = end_ts + self.seal_gap_us
+            newly = matches[(seal < watermark_us) & (seal >= self.prev_wm)]
         if len(newly):
             self.buf.append(newly)
         # retention: rows after the last sealed breaker per key (plus n_pre
@@ -1719,7 +1748,10 @@ class KleeneBucketActor:
         ts = df["ts_us"].to_numpy(np.int64)
         bits = df["__bits"].to_numpy(np.uint32)
         b = (bits & np.uint32(1 << self.n_pre)) != 0
-        sealed = ts < watermark_us
+        if self.n_post >= 1:
+            sealed = ts < watermark_us
+        else:
+            sealed = ts + self.seal_gap_us < watermark_us
         chained_next = np.zeros(n, dtype=bool)
         if n > 1:
             chained_next[:-1] = (conv[1:] == conv[:-1]) & (ti[1:] == ti[:-1] + 1)
@@ -1778,7 +1810,11 @@ class KleeneBucketActor:
 class ParallelKleeneRunner(_ParallelReplayBase):
     """Parallel-replay Kleene-plus CEP (reuses the ``cep`` replay mode; the
     flattened steps travel as the bitmask). Equals the batch
-    :func:`match_kleene` scan under covered disorder (tested)."""
+    :func:`match_kleene` scan under covered disorder (tested). Patterns may
+    be prefix-free and/or suffix-free; suffix-free patterns seal maximal
+    runs by watermark timeout and need ``seal_gap_s`` (round-3 VERDICT #7 —
+    equality to batch additionally requires intra-run consecutive-turn
+    event-time gaps ≤ seal_gap_s; see :class:`KleeneBucketActor`)."""
 
     mode = "cep"
 
@@ -1787,7 +1823,8 @@ class ParallelKleeneRunner(_ParallelReplayBase):
                  max_replayers: int = 16, epoch_batches: int = 64,
                  key: str = "conv_id", order: str = "turn_idx",
                  ts_col: str = "ts", derive=None,
-                 read_columns: "list[str] | None" = None):
+                 read_columns: "list[str] | None" = None,
+                 seal_gap_s: float | None = None):
         from pipeflow_ray.stages.cep import pattern_columns
 
         super().__init__(lateness_s, num_buckets, max_replayers, epoch_batches)
@@ -1799,6 +1836,7 @@ class ParallelKleeneRunner(_ParallelReplayBase):
         self.n_post = len(steps) - self.n_pre - 1
         self.steps = [s[1] if i == self.n_pre else s for i, s in enumerate(steps)]
         self.within_us = within_us
+        self.seal_gap_us = None if seal_gap_s is None else int(seal_gap_s * US)
         self.key = key
         self.order = order
         self.ts_col = ts_col
@@ -1815,7 +1853,8 @@ class ParallelKleeneRunner(_ParallelReplayBase):
 
     def _make_bucket_actor(self):
         return KleeneBucketActor.remote(self.n_pre, self.n_post, self.within_us,
-                                        key=self.key, order=self.order)
+                                        key=self.key, order=self.order,
+                                        seal_gap_us=self.seal_gap_us)
 
     def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
         from pipeflow_ray.stages.cep import empty_kleene
