@@ -1094,25 +1094,47 @@ _CEP_MULTI_SQL = f"""WITH s AS (
              lead(tool, 1) OVER w AS tool1,
              lead(turn_idx, 2) OVER w AS ti2, lead(epoch_us(ts), 2) OVER w AS ts2
       FROM read_parquet('{_TP001}')
-      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+    r2 AS (
+      SELECT conv_id, turn_idx, role, epoch_us(ts) AS ts_us
+      FROM read_parquet('{_TP001}')),
+    truns AS (
+      SELECT conv_id, min(turn_idx) AS r0, max(turn_idx) AS r1,
+             CAST(count(*) AS BIGINT) AS run_len
+      FROM (SELECT conv_id, turn_idx,
+                   turn_idx - row_number() OVER (PARTITION BY conv_id
+                                                 ORDER BY turn_idx) AS isl
+            FROM r2 WHERE role = 'tool')
+      GROUP BY conv_id, isl)
     SELECT conv_id, 'utu' AS pattern, CAST(turn_idx AS BIGINT) AS start_turn_idx,
            CAST(ti2 AS BIGINT) AS end_turn_idx, CAST(ts_us AS BIGINT) AS start_ts_us,
-           CAST(ts2 AS BIGINT) AS end_ts_us, tool1 AS tool
+           CAST(ts2 AS BIGINT) AS end_ts_us, CAST(0 AS BIGINT) AS run_len,
+           tool1 AS tool
     FROM s WHERE role = 'user' AND role1 = 'tool' AND role2 = 'user'
       AND ti2 = turn_idx + 2 AND ts2 - ts_us BETWEEN 0 AND 600000000
     UNION ALL
     SELECT conv_id, 'uau', CAST(turn_idx AS BIGINT), CAST(ti2 AS BIGINT),
-           CAST(ts_us AS BIGINT), CAST(ts2 AS BIGINT), NULL
+           CAST(ts_us AS BIGINT), CAST(ts2 AS BIGINT), CAST(0 AS BIGINT), NULL
     FROM s WHERE role = 'user' AND role1 = 'assistant' AND role2 = 'user'
-      AND ti2 = turn_idx + 2 AND ts2 - ts_us BETWEEN 0 AND 300000000"""
+      AND ti2 = turn_idx + 2 AND ts2 - ts_us BETWEEN 0 AND 300000000
+    UNION ALL
+    SELECT truns.conv_id, 'ut_burst', CAST(p.turn_idx AS BIGINT),
+           CAST(e.turn_idx AS BIGINT), CAST(p.ts_us AS BIGINT),
+           CAST(e.ts_us AS BIGINT), run_len, NULL
+    FROM truns
+    JOIN r2 p ON p.conv_id = truns.conv_id AND p.turn_idx = truns.r0 - 1
+             AND p.role = 'user'
+    JOIN r2 e ON e.conv_id = truns.conv_id AND e.turn_idx = truns.r1
+    WHERE e.ts_us - p.ts_us BETWEEN 0 AND 1800000000"""
 
 
 @q("cep_multi_turns", _CEP_MULTI_SQL)
 def cep_multi_turns(sf_dir):
-    """Pattern LIBRARY in one pass: two sequence patterns (user→tool→user
-    ≤10 min emitting the tool; user→assistant→user ≤5 min) share one prep
-    and ONE conv_id exchange — N patterns cost one shuffle, not N
-    (stages/cep.match_many)."""
+    """Pattern LIBRARY in one pass: two fixed sequences (user→tool→user
+    ≤10 min emitting the tool; user→assistant→user ≤5 min) PLUS a Kleene
+    entry (user followed by a maximal run of tool turns ≤30 min, emitting
+    run_len — round-3 VERDICT #8) share one prep and ONE conv_id exchange —
+    N patterns cost one shuffle, not N (stages/cep.match_many)."""
     from pipeflow_ray.stages.cep import match_many, pattern_columns
 
     pats = {
@@ -1120,6 +1142,8 @@ def cep_multi_turns(sf_dir):
                 "within_us": 600_000_000, "emit": ((1, "tool", "tool"),)},
         "uau": {"steps": [{"role": "user"}, {"role": "assistant"}, {"role": "user"}],
                 "within_us": 300_000_000},
+        "ut_burst": {"steps": [{"role": "user"}, ("+", {"role": "tool"})],
+                     "within_us": 1_800_000_000},
     }
     cols = sorted({c for p in pats.values() for c in
                    pattern_columns(p["steps"], p.get("emit", ()))})

@@ -244,9 +244,12 @@ def _bucket_scan(df, k, within_us, emit, key, order):
 
 def pattern_columns(steps, emit=(), key="conv_id", order="turn_idx", ts_col="ts"):
     """Input columns the pattern needs — pass to ``read_parquet(columns=…)``
-    so the read itself prunes."""
+    so the read itself prunes. Kleene elements ``("+", step)`` are
+    unwrapped."""
     need = {key, order, ts_col}
     for s in steps:
+        if isinstance(s, tuple) and len(s) == 2 and s[0] == "+":
+            s = s[1]
         if not callable(s):
             need |= set(s.keys())
     need |= {src for _off, src, _name in emit}
@@ -516,24 +519,53 @@ def match_kleene(
 # ---------------------------------------------------------------------------
 
 
-def _bucket_scan_many(df, plan, key, order):
+def _prep_table_many(
+    t: pa.Table, word_steps, key: str, order: str, ts_col: str, emit_srcs
+) -> pa.Table:
+    """Multi-word prep: one uint32 bitmask column per 32-step word
+    (``__bits``, ``__bits1``, …) — lifts the 32-step library bound to
+    32 × words (round-3 VERDICT #8); patterns never span a word."""
+    ts = pc.fill_null(t[ts_col].cast(pa.int64()), _NEG_INF)
+    cols = {key: t[key], order: t[order].cast(pa.int64()), "ts_us": ts}
+    for w, steps in enumerate(word_steps):
+        name = "__bits" if w == 0 else f"__bits{w}"
+        cols[name] = pa.array(compute_step_bits_table(t, steps), type=pa.uint32())
+    for src in emit_srcs:
+        cols[src] = t[src]
+    return pa.table(cols)
+
+
+def _bucket_scan_many(df, plan, key, order, with_run_len):
     df = df.sort_values([key, order], kind="mergesort").reset_index(drop=True)
-    bits_all = df["__bits"].to_numpy(dtype=np.uint32)
+    words = {c: df[c].to_numpy(dtype=np.uint32)
+             for c in df.columns if c.startswith("__bits")}
     outs = []
-    for name, (offset, k, within_us, emit) in plan.items():
+    for name, entry in plan.items():
+        kind, w, offset = entry[0], entry[1], entry[2]
+        col = "__bits" if w == 0 else f"__bits{w}"
         sub = df.copy()
-        sub["__bits"] = bits_all >> np.uint32(offset)
-        m = scan_matches(sub, k, within_us, emit, key=key, order=order,
-                         assume_sorted=True)
+        sub["__bits"] = words[col] >> np.uint32(offset)
+        if kind == "fixed":
+            k, within_us, emit = entry[3], entry[4], entry[5]
+            m = scan_matches(sub, k, within_us, emit, key=key, order=order,
+                             assume_sorted=True)
+            if with_run_len:
+                m["run_len"] = np.zeros(len(m), np.int64)  # fixed: no run
+        else:  # kleene
+            n_pre, n_post, within_us = entry[3], entry[4], entry[5]
+            m = scan_kleene(sub, n_pre, n_post, within_us, key=key, order=order,
+                            assume_sorted=True)
         m.insert(1, "pattern", name)
         outs.append(m)
-    all_emit_names = sorted({nm for _o, _k, _w, em in plan.values() for *_x, nm in em})
+    all_emit_names = sorted({nm for e in plan.values() if e[0] == "fixed"
+                             for *_x, nm in e[5]})
     for m in outs:
         for nm in all_emit_names:
             if nm not in m.columns:
                 m[nm] = None
     cols = [key, "pattern", "start_turn_idx", "end_turn_idx",
-            "start_ts_us", "end_ts_us", *all_emit_names]
+            "start_ts_us", "end_ts_us",
+            *(["run_len"] if with_run_len else []), *all_emit_names]
     return pd.concat([m[cols] for m in outs], ignore_index=True)
 
 
@@ -545,32 +577,62 @@ def match_many(
     ts_col: str = "ts",
     num_buckets: int | None = None,
 ):
-    """Evaluate a library of fixed-sequence patterns in ONE pass.
+    """Evaluate a library of patterns in ONE pass — one prep stage, one key
+    exchange, then each bucket scans every pattern on its already-sorted
+    rows (N patterns cost one shuffle, not N).
 
     *patterns*: ``{name: {"steps": [...], "within_us": int|None,
-    "emit": tuple}}``. All patterns' step bitmasks pack into the single
-    uint32 (≤32 steps total); one prep stage, one key exchange, then each
-    bucket scans every pattern on its already-sorted rows. Output adds a
-    ``pattern`` column; emit columns are unioned (null where a pattern does
-    not emit them).
+    "emit": tuple}}``. Steps may include exactly one ``("+", step)`` Kleene
+    element per pattern (greedy maximal-run semantics, as
+    :func:`match_kleene`); Kleene entries cannot emit step columns. Library
+    size is unbounded: patterns pack first-fit into 32-bit mask WORDS (one
+    uint32 column per word through the exchange; a single pattern stays
+    ≤ 32 steps). Output adds a ``pattern`` column; emit columns are unioned
+    (null where a pattern does not emit them); if any entry is Kleene, a
+    ``run_len`` column is added (0 for fixed-sequence matches).
     """
-    flat_steps = []
     plan: dict = {}
+    word_used: list[int] = []
+    word_steps: list[list] = []
     emit_srcs: set = set()
+    any_kleene = False
     for name, spec in patterns.items():
         steps = spec["steps"]
+        plus = [i for i, s in enumerate(steps)
+                if isinstance(s, tuple) and len(s) == 2 and s[0] == "+"]
+        if len(plus) > 1:
+            raise ValueError(f"pattern {name!r}: at most one ('+', step) element")
+        flat = [s[1] if (plus and i == plus[0]) else s for i, s in enumerate(steps)]
+        k = len(flat)
+        if k > MAX_STEPS:
+            raise ValueError(f"pattern {name!r} exceeds {MAX_STEPS} steps")
+        for w in range(len(word_used)):  # first-fit word packing
+            if word_used[w] + k <= MAX_STEPS:
+                break
+        else:
+            w = len(word_used)
+            word_used.append(0)
+            word_steps.append([])
+        off = word_used[w]
+        word_used[w] += k
+        word_steps[w].extend(flat)
         emit = tuple(spec.get("emit", ()))
-        plan[name] = (len(flat_steps), len(steps), spec.get("within_us"), emit)
-        flat_steps.extend(steps)
-        emit_srcs |= {src for _o, src, _n in emit}
-    if len(flat_steps) > MAX_STEPS:
-        raise ValueError(f"pattern library exceeds {MAX_STEPS} total steps")
+        if plus:
+            if emit:
+                raise ValueError(f"pattern {name!r}: Kleene entries cannot emit")
+            any_kleene = True
+            plan[name] = ("kleene", w, off, plus[0], k - plus[0] - 1,
+                          spec.get("within_us"))
+        else:
+            plan[name] = ("fixed", w, off, k, spec.get("within_us"), emit)
+            emit_srcs |= {src for _o, src, _n in emit}
     prep = functools.partial(
-        _prep_table, steps=flat_steps, key=key, order=order, ts_col=ts_col,
-        emit_srcs=sorted(emit_srcs),
+        _prep_table_many, word_steps=word_steps, key=key, order=order,
+        ts_col=ts_col, emit_srcs=sorted(emit_srcs),
     )
     pruned = ds.map_batches(prep, batch_format="pyarrow")
-    kernel = functools.partial(_bucket_scan_many, plan=plan, key=key, order=order)
+    kernel = functools.partial(_bucket_scan_many, plan=plan, key=key,
+                               order=order, with_run_len=any_kleene)
     return grouped_by_bucket(
         pruned, [key], kernel, num_buckets=num_buckets, batch_format="pandas"
     )

@@ -591,3 +591,85 @@ def test_match_many_equals_individual(transcripts_table):
         assert len(solo) > 0
         pd.testing.assert_frame_equal(
             part[solo.columns], solo, check_dtype=False)
+
+
+def test_match_many_multiword_over_32_steps(transcripts_table):
+    """A library whose total step count exceeds one 32-bit word must pack
+    into multiple mask words and still equal per-pattern runs (r3 VERDICT
+    #8). 12 patterns × 3 steps = 36 steps → 2 words."""
+    import ray.data
+
+    from pipeflow_ray.stages.cep import match_many, match_pattern
+
+    roles = ["user", "assistant", "tool"]
+    pats = {}
+    for i in range(12):
+        seq = [roles[i % 3], roles[(i + 1) % 3], roles[(i + 2) % 3]]
+        pats[f"p{i:02d}"] = {"steps": [{"role": r} for r in seq],
+                             "within_us": 600_000_000 + i * 60_000_000}
+    assert sum(len(p["steps"]) for p in pats.values()) > 32
+
+    ds = ray.data.from_arrow(transcripts_table.select(["conv_id", "turn_idx", "role", "ts"]))
+    combo = match_many(ds, pats).to_pandas()
+    key = ["conv_id", "start_turn_idx"]
+    total = 0
+    for name, spec in pats.items():
+        solo = match_pattern(
+            ray.data.from_arrow(transcripts_table.select(["conv_id", "turn_idx", "role", "ts"])),
+            spec["steps"], within_us=spec["within_us"],
+        ).to_pandas()
+        part = combo[combo.pattern == name]
+        if not len(solo):  # sequences absent from the fixture
+            assert not len(part)
+            continue
+        solo = solo.sort_values(key).reset_index(drop=True)
+        part = part.drop(columns=["pattern"]).sort_values(key).reset_index(drop=True)
+        total += len(solo)
+        pd.testing.assert_frame_equal(part[solo.columns], solo, check_dtype=False)
+    assert total > 0
+
+
+def test_match_many_with_kleene_entry():
+    """A Kleene entry in the library must equal a standalone match_kleene
+    run (including multi-length maximal runs); fixed entries gain
+    run_len = 0."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from pipeflow_ray.stages.cep import match_kleene, match_many
+
+    # synthetic conversations with known tool bursts of length 1..4
+    rows = []
+    base = 1_700_000_000_000_000
+    for c in range(40):
+        seq = ["user"] + ["tool"] * (1 + c % 4) + ["user", "assistant"] \
+            + ["user"] + ["tool"] * (1 + (c + 1) % 3)
+        for i, r in enumerate(seq):
+            rows.append((f"c{c:03d}", i, r, base + c * 10**9 + i * 60_000_000))
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+        "role": pa.array([r[2] for r in rows]),
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+    })
+
+    pats = {
+        "ua": {"steps": [{"role": "user"}, {"role": "assistant"}],
+               "within_us": 600_000_000},
+        "burst": {"steps": [{"role": "user"}, ("+", {"role": "tool"})],
+                  "within_us": 1_800_000_000},
+    }
+    combo = match_many(ray.data.from_arrow(t), pats).to_pandas()
+    assert "run_len" in combo.columns
+    assert len(combo[combo.pattern == "ua"]) > 0
+    assert (combo.loc[combo.pattern == "ua", "run_len"] == 0).all()
+
+    key = ["conv_id", "start_turn_idx"]
+    solo = match_kleene(
+        ray.data.from_arrow(t), pats["burst"]["steps"], within_us=1_800_000_000,
+    ).to_pandas().sort_values(key).reset_index(drop=True)
+    part = combo[combo.pattern == "burst"].drop(columns=["pattern"]) \
+        .sort_values(key).reset_index(drop=True)
+    assert len(solo) > 0 and solo.run_len.max() >= 3
+    pd.testing.assert_frame_equal(part[solo.columns], solo, check_dtype=False)
