@@ -310,7 +310,10 @@ def attach_by_id(
     """Co-partitioned hash join attaching side columns to pair rows on an id —
     the distributed replacement for a driver-side lookup dict. *dedup_on*
     drops duplicate pair rows per bucket before payload attaches (exhaustive
-    when *pair_key* ∈ *dedup_on*)."""
+    when *pair_key* ∈ *dedup_on*). *side* may be a Dataset or an
+    already-exchanged :class:`~pipeflow_ray.stages.core.KeyedBuckets`
+    (same-key reuse: the side's exchange is skipped; bucket counts must
+    match)."""
     from pipeflow_ray.stages.core import _nrows_task, hash_exchange
 
     pb = hash_exchange(pairs, [pair_key], num_buckets)
@@ -405,7 +408,13 @@ def verify_jaccard(
     if pairs.count() == 0:
         return ray.data.from_arrow(_EMPTY_JACCARD.empty_table())
     flt, _n = _candidate_id_filter(pairs, id_col)
-    cand_docs = docs.map_batches(flt, batch_format="pyarrow").select_columns([id_col, text_col])
+    from pipeflow_ray.stages.core import exchange_keyed
+
+    # one id-keyed exchange, reused by both attaches (round-3 VERDICT #5)
+    cand_docs = exchange_keyed(
+        docs.map_batches(flt, batch_format="pyarrow").select_columns([id_col, text_col]),
+        [id_col], num_buckets=32,
+    )
     with_a = attach_by_id(pairs, cand_docs, "id_a", id_col, [text_col], "_a")
     with_b = attach_by_id(with_a, cand_docs, "id_b", id_col, [text_col], "_b")
 
@@ -493,7 +502,14 @@ def estimate_and_verify(
     if pairs.count() == 0:
         return ray.data.from_arrow(_EMPTY_JACCARD.empty_table())
     flt, _n = _candidate_id_filter(pairs, id_col)
-    side = (
+    from pipeflow_ray.stages.core import exchange_keyed
+
+    # ONE id-keyed exchange of the candidate side, held as KeyedBuckets and
+    # consumed by BOTH attaches (id_a hashes the same values as doc_id) —
+    # the chained same-key re-exchange disappears (round-3 VERDICT #5); the
+    # exchange also executes the sig+text plan exactly once, replacing the
+    # old materialize()
+    side = exchange_keyed(
         docs.map_batches(flt, batch_format="pyarrow")
         .select_columns([id_col, text_col])
         .map_batches(
@@ -501,8 +517,8 @@ def estimate_and_verify(
             fn_kwargs=dict(text_col=text_col, id_col=id_col,
                            num_perm=num_perm, k=k, seed=seed),
             batch_format="pyarrow",
-        )
-        .materialize()  # attached twice (id_a, id_b) — never re-read docs
+        ),
+        [id_col], num_buckets=32,
     )
     with_a = attach_by_id(pairs, side, "id_a", id_col, ["sig", text_col], "_a",
                           dedup_on=["id_a", "id_b"])
