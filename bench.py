@@ -58,7 +58,10 @@ def _headline(sf_dir: str, out_root: str) -> tuple[float, int]:
 
 
 def _run_queries(sf_dir: str) -> dict[str, float]:
-    """Representative per-operator timings (full consumption each)."""
+    """Representative per-operator timings (full consumption each),
+    min-of-N reps (GRAFT_QUERY_REPS, default 2) — the min is robust to the
+    shared host's intermittent ~30% contention spikes (see BASELINE.md
+    host-noise discipline) while staying an honest full-execution wall."""
     import ray.data
 
     from pipeflow_ray.pipelines.queries import QUERIES
@@ -75,6 +78,7 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "transcripts_sessions",
         "cep_pattern_turns",
         "cep_timeout_turns",
+        "cep_kleene_open_turns",
         "turn_analytics_transcripts",
         "repetition_docs",
         "tfidf_docs",
@@ -82,18 +86,24 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "winnow_fingerprint_docs",
         "minhash_pairs_docs",
         "ann_topk",
+        "sketch_quantiles_price",
         "hash_join_segment",
         "streaming_sessions",
         "streaming_cep_pattern",
         "streaming_join",
+        "streaming_sketch_quantiles",
     ]
+    reps = int(os.environ.get("GRAFT_QUERY_REPS", "2"))
     out = {}
     for name in names:
-        t0 = time.perf_counter()
-        res = QUERIES[name](sf_dir)
-        if isinstance(res, ray.data.Dataset):
-            res.count()  # force full execution
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            res = QUERIES[name](sf_dir)
+            if isinstance(res, ray.data.Dataset):
+                res.count()  # force full execution
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
     return out
 
 
@@ -140,6 +150,8 @@ def bench_once() -> dict:
         "num_cpus": num_cpus,
         "turns": n_turns,
         "turns_per_sec": round(n_turns / wall, 1),
+        "headline_reps": int(os.environ.get("GRAFT_BENCH_REPS", "3")),
+        "query_reps": int(os.environ.get("GRAFT_QUERY_REPS", "2")),
     }
     ray.shutdown()
     return result
