@@ -469,10 +469,22 @@ class Pipeline:
 
     def quantiles(self, keys: list[str], value_col: str,
                   qs=(0.25, 0.5, 0.75)) -> "Pipeline":
-        """Exact grouped discrete quantiles (percentile_disc semantics)."""
+        """Exact grouped discrete quantiles (percentile_disc semantics).
+        Exact state is O(keys × distinct values) — for unbounded CONTINUOUS
+        value domains use :meth:`quantiles_sketch`."""
         from pipeflow_ray.stages.window import grouped_quantiles
 
         return self._chain(grouped_quantiles(self._ds, keys, value_col, qs))
+
+    def quantiles_sketch(self, keys: list[str], value_col: str,
+                         qs=(0.25, 0.5, 0.75), k: int = 400) -> "Pipeline":
+        """Approximate grouped quantiles via mergeable KLL sketches — the
+        unbounded-continuous-domain path: O(k·log(n/k)) state per key
+        regardless of value cardinality, normalized rank error ≈ 2.3/k whp,
+        exact per-key counts."""
+        from pipeflow_ray.stages.window import grouped_quantiles_sketch
+
+        return self._chain(grouped_quantiles_sketch(self._ds, keys, value_col, qs, k=k))
 
     # -------------------------------------------------------------------- sinks
     def write_exactly_once(self, out_dir: str, part_by="conv_id", num_partitions: int = 32,

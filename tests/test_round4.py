@@ -95,6 +95,25 @@ def test_grouped_quantiles_sketch_within_tolerance():
             assert abs(_true_rank(g, row[col]) - q) < 0.01, (row.k, q)
 
 
+def test_pipeline_fluent_quantiles_sketch():
+    """Fluent-builder surface for the sketch path."""
+    from pipeflow_ray import Pipeline
+
+    df = _keyed_continuous(n=30_000, seed=3)
+    out = (
+        Pipeline.from_pandas(df)
+        .quantiles_sketch(["k"], "v", qs=(0.5,))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["k", "n", "p50"]
+    for _, row in out.iterrows():
+        g = np.sort(df.loc[df.k == row.k, "v"].to_numpy())
+        assert row.n == len(g)
+        assert abs(_true_rank(g, row.p50) - 0.5) < 0.01
+
+
 def test_streaming_sketch_quantiles_multishard(tmp_path):
     """Streaming runner over 6 shards: n exact, estimates within tolerance,
     and retained state a small fraction of the distinct-value count (the
