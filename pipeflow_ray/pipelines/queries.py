@@ -980,6 +980,77 @@ def streaming_quantiles_transcripts(sf_dir):
     return result
 
 
+# --------------------------------------------------------------------------
+# deterministic data mixing (functions/sampling): the keep/repeat decision is
+# splitmix64(doc_id + seed) — replayed bit-exactly in SQL, so the sampled /
+# upsampled OUTPUT ROWS are value-hash verified, not just count-checked
+# --------------------------------------------------------------------------
+
+_MIX_SEED = 1234
+_MIX_FRACTIONS = {"en": 0.5, "fr": 0.25, "es": 0.75, "de": 0.125, "zh": 1.0}
+_MIX_WEIGHTS = {"en": 0.5, "fr": 2.25, "es": 1.0, "de": 3.5, "zh": 1.75}
+
+
+def _mix_threshold(f: float) -> int:
+    """The uint64 threshold the Ray side computes — same float64 rounding."""
+    return int((np.float64(min(f, 1.0)) * np.float64(1 << 64)).astype(np.uint64))
+
+
+def _mix_sql(kind: str) -> str:
+    from pipeflow_ray.functions.sampling import splitmix64_sql
+
+    hcols = splitmix64_sql("doc_id", _MIX_SEED)
+    if kind == "sample":
+        vals = ", ".join(
+            f"('{k}', CAST('{_mix_threshold(f)}' AS UBIGINT), {int(f >= 1.0)})"
+            for k, f in _MIX_FRACTIONS.items()
+        )
+        return f"""WITH h AS (SELECT doc_id, lang, n_chars, {hcols} FROM documents),
+            thr(lang, t, keep_all) AS (VALUES {vals})
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+            FROM h JOIN thr USING (lang)
+            WHERE keep_all = 1 OR __h < t"""
+    vals = ", ".join(
+        f"('{k}', {int(np.floor(w))}, CAST('{_mix_threshold(w - np.floor(w))}' AS UBIGINT))"
+        for k, w in _MIX_WEIGHTS.items()
+    )
+    return f"""WITH h AS (SELECT doc_id, lang, n_chars, {hcols} FROM documents),
+        w(lang, base, t) AS (VALUES {vals}),
+        r AS (SELECT doc_id, lang, n_chars,
+                     base + CASE WHEN __h < t THEN 1 ELSE 0 END AS reps
+              FROM h JOIN w USING (lang))
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(unnest(range(reps)) AS BIGINT) AS copy_idx
+        FROM r"""
+
+
+@q("stratified_sample_docs", _mix_sql("sample"))
+def stratified_sample_docs(sf_dir):
+    """Deterministic source mixing (DOWN-sampling): per-language Bernoulli
+    keep driven by splitmix64(doc_id + seed) — shuffle-free, reproducible
+    under any partitioning/retry, and value-hash verified row-for-row (the
+    oracle replays the same hash in SQL via HUGEINT split-multiply)."""
+    from pipeflow_ray.functions.sampling import stratified_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    return stratified_sample(ds, "lang", _MIX_FRACTIONS, id_col="doc_id",
+                             seed=_MIX_SEED)
+
+
+@q("upsample_docs", _mix_sql("upsample"))
+def upsample_docs(sf_dir):
+    """Deterministic source mixing (UP-sampling): per-language weighted
+    repetition — floor(w) copies plus one more iff the id hash lands under
+    frac(w)·2^64; expected multiplicity exactly w, copy_idx keeps output
+    rows distinct. Same bit-exact SQL replay as stratified_sample_docs."""
+    from pipeflow_ray.functions.sampling import upsample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    return upsample(ds, "lang", _MIX_WEIGHTS, id_col="doc_id", seed=_MIX_SEED)
+
+
 _SKETCH_QS = (0.25, 0.5, 0.75)
 _SKETCH_EPS = 0.02  # tolerated normalized rank error; KLL k=400 delivers ~0.3%
 

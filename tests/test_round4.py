@@ -95,6 +95,54 @@ def test_grouped_quantiles_sketch_within_tolerance():
             assert abs(_true_rank(g, row[col]) - q) < 0.01, (row.k, q)
 
 
+def test_stratified_sample_deterministic_and_partition_independent():
+    """The keep decision is a pure function of (id, seed): any repartition
+    yields the SAME rows, and per-key keep rates land near the targets."""
+    from pipeflow_ray.functions.sampling import stratified_sample
+
+    n = 40_000
+    rng = np.random.default_rng(2)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "lang": pa.array(rng.choice(["en", "fr", "zh"], n, p=[0.6, 0.3, 0.1])),
+    })
+    fr = {"en": 0.5, "fr": 0.25}  # zh falls to default=1.0
+    a = stratified_sample(ray.data.from_arrow(t), "lang", fr).to_pandas()
+    b = stratified_sample(ray.data.from_arrow(t).repartition(16), "lang", fr).to_pandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    src = t.to_pandas()
+    for k, f in (("en", 0.5), ("fr", 0.25), ("zh", 1.0)):
+        kept = (a.lang == k).sum() / (src.lang == k).sum()
+        assert abs(kept - f) < 0.02, (k, kept)
+
+
+def test_upsample_multiplicity_and_determinism():
+    from pipeflow_ray.functions.sampling import upsample
+
+    n = 30_000
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "k": pa.array(np.where(np.arange(n) % 2 == 0, "a", "b")),
+    })
+    w = {"a": 2.5, "b": 0.75}
+    out = upsample(ray.data.from_arrow(t), "k", w, seed=7).to_pandas()
+    out2 = upsample(ray.data.from_arrow(t).repartition(8), "k", w, seed=7).to_pandas()
+    key = ["doc_id", "copy_idx"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True)[["doc_id", "k", "copy_idx"]],
+        out2.sort_values(key).reset_index(drop=True)[["doc_id", "k", "copy_idx"]],
+    )
+    # expected multiplicity per key ≈ weight; copies indexed 0..reps-1
+    for k, wt in w.items():
+        src_n = (t.to_pandas().k == k).sum()
+        assert abs(len(out[out.k == k]) / src_n - wt) < 0.05, k
+    per = out.groupby("doc_id").copy_idx.agg(["min", "max", "size"])
+    assert (per["min"] == 0).all() and (per["max"] == per["size"] - 1).all()
+    # a's multiplicity is 2 or 3; b's is 0 or 1
+    ga = out[out.k == "a"].groupby("doc_id").size()
+    assert set(ga.unique()) <= {2, 3}
+
+
 def test_pipeline_fluent_quantiles_sketch():
     """Fluent-builder surface for the sketch path."""
     from pipeflow_ray import Pipeline
