@@ -992,8 +992,13 @@ _MIX_WEIGHTS = {"en": 0.5, "fr": 2.25, "es": 1.0, "de": 3.5, "zh": 1.75}
 
 
 def _mix_threshold(f: float) -> int:
-    """The uint64 threshold the Ray side computes — same float64 rounding."""
-    return int((np.float64(min(f, 1.0)) * np.float64(1 << 64)).astype(np.uint64))
+    """The uint64 threshold the Ray side computes — same float64 rounding.
+    f ≥ 1 rows short-circuit on keep_all in the SQL (and on the full-keep
+    mask Ray-side), so return 0 instead of evaluating the out-of-range cast
+    ``uint64(1.0 * 2^64)`` (undefined; raises RuntimeWarning at import)."""
+    if f >= 1.0:
+        return 0
+    return int((np.float64(f) * np.float64(1 << 64)).astype(np.uint64))
 
 
 def _mix_sql(kind: str) -> str:
