@@ -195,6 +195,43 @@ def add_remove_rename(sf_dir):
 
 
 @q(
+    "unpivot_lineitem",
+    """SELECT l_orderkey, l_linenumber, 'qty_c' AS measure,
+              CAST(floor(l_quantity * 100) AS BIGINT) AS value FROM lineitem
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'price_c',
+              CAST(floor(l_extendedprice * 100) AS BIGINT) FROM lineitem
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'disc_c',
+              CAST(floor(l_discount * 100) AS BIGINT) FROM lineitem""",
+)
+def unpivot_lineitem(sf_dir):
+    """Wide→long reshape (SQL UNPIVOT): three lineitem measures melted into
+    (id, measure, value) rows — a stateless per-batch column-slice concat,
+    no shuffle, rows×3 out (stages/columns.unpivot)."""
+    from pipeflow_ray.stages.columns import unpivot
+
+    ds = _lineitem(sf_dir, ["l_orderkey", "l_linenumber", "l_quantity",
+                            "l_extendedprice", "l_discount"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "qty_c": _floor_cents(t["l_quantity"]),
+                "price_c": _floor_cents(t["l_extendedprice"]),
+                "disc_c": _floor_cents(t["l_discount"]),
+            }
+        )
+
+    melt = unpivot(["l_orderkey", "l_linenumber"], ["qty_c", "price_c", "disc_c"],
+                   name_col="measure", value_col="value")
+    return ds.map_batches(_prep, batch_format="pyarrow").map_batches(
+        melt, batch_format="pyarrow")
+
+
+@q(
     "fill_missing_value",
     """SELECT event_id, CASE WHEN value < 0.1 THEN 0.0 ELSE value END AS value_filled
        FROM events""",

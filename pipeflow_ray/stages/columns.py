@@ -73,6 +73,36 @@ def rename_column(old: str, new: str) -> Callable[[pa.Table], pa.Table]:
     return _apply
 
 
+def unpivot(
+    id_cols: list[str],
+    value_cols: list[str],
+    name_col: str = "name",
+    value_col: str = "value",
+    include_nulls: bool = False,
+) -> Callable[[pa.Table], pa.Table]:
+    """Wide→long reshape (SQL UNPIVOT / pandas melt): each input row emits
+    one output row per entry of *value_cols*, carrying *id_cols*, the source
+    column's name and its value. Stateless and shuffle-free — the output is
+    a column-slice concat per batch (zero row materialization in Python);
+    heterogeneous value types promote via Arrow's permissive concat. NULL
+    cells are skipped by default (SQL UNPIVOT EXCLUDE NULLS semantics);
+    pass ``include_nulls=True`` for pandas-melt behavior."""
+
+    def _apply(t: pa.Table) -> pa.Table:
+        pieces = []
+        for c in value_cols:
+            cols = {k: t[k] for k in id_cols}
+            cols[name_col] = pa.array([c] * t.num_rows, pa.string())
+            cols[value_col] = t[c]
+            piece = pa.table(cols)
+            if not include_nulls:
+                piece = piece.filter(pc.is_valid(piece[value_col]))
+            pieces.append(piece)
+        return pa.concat_tables(pieces, promote_options="permissive")
+
+    return _apply
+
+
 def cast_columns(casts: dict[str, pa.DataType], safe: bool = True) -> Callable[[pa.Table], pa.Table]:
     """Batch-level typed coercion — the engine analog of the reference's
     per-cell ``GetValue<T>`` ``Convert.ChangeType`` (``PipeFlow/DataRow.cs:67-102``)."""

@@ -195,3 +195,28 @@ def test_top_n_per_key_and_group_concat():
     )
     # values joined in i order per key (v rendered via str)
     assert cat.seq.tolist() == ["5-9-9-1", "3-7", "2"]
+
+
+def test_unpivot_basic_and_null_skip():
+    from pipeflow_ray.stages.columns import unpivot
+
+    t = pa.table({"id": [1, 2], "a": [10, None], "b": [30, 40]})
+    melt = unpivot(["id"], ["a", "b"], name_col="m", value_col="v")
+    out = melt(t)
+    # SQL UNPIVOT EXCLUDE NULLS: the (2, a, NULL) cell is dropped
+    assert sorted(zip(out["id"].to_pylist(), out["m"].to_pylist(), out["v"].to_pylist())) == [
+        (1, "a", 10), (1, "b", 30), (2, "b", 40),
+    ]
+
+
+def test_unpivot_include_nulls_and_promotion():
+    from pipeflow_ray.stages.columns import unpivot
+
+    t = pa.table({"id": [1], "i": pa.array([5], pa.int32()),
+                  "f": pa.array([2.5], pa.float64())})
+    out = unpivot(["id"], ["i", "f"], include_nulls=True)(t)
+    # int32 + float64 value columns promote to a common Arrow type
+    assert out.num_rows == 2 and pa.types.is_floating(out["value"].type)
+    t2 = pa.table({"id": [1, 2], "a": [None, 7], "b": [1, None]})
+    out2 = unpivot(["id"], ["a", "b"], include_nulls=True)(t2)
+    assert out2.num_rows == 4  # pandas-melt semantics keeps NULL cells
