@@ -1201,6 +1201,47 @@ def streaming_sketch_quantiles(sf_dir):
     return _sketch_within(ds, "event_type", "value", est)
 
 
+@q(
+    "streaming_hll_distinct",
+    f"""SELECT role, CAST(count(*) AS BIGINT) AS n, CAST(1 AS BIGINT) AS within
+        FROM read_parquet('{_TP001}') GROUP BY role""",
+)
+def streaming_hll_distinct(sf_dir):
+    """STREAMING approximate distinct on ingest (HLL): per-role distinct
+    turn texts, replayers folding each micro-batch into one 4 KiB register
+    array per key, bucket actors merging by element-wise max — state
+    O(keys · 2^p) bytes vs dedup-on-ingest's O(distinct) ints
+    (pipelines/streaming.StreamingHLLRunner). Audited like the sketch
+    quantiles: a distributed exact-distinct pass (per-batch (role, hash)
+    dedup combiner → one role exchange → nunique) checks the estimate
+    within ±5% (p=12 standard error ~1.6%); n is exact."""
+    from pipeflow_ray.pipelines.streaming import StreamingHLLRunner
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    est, _metrics = StreamingHLLRunner("role", "text", num_buckets=2).run(
+        _tp(sf_dir))
+
+    ds = ray.data.read_parquet(_tp(sf_dir), columns=["role", "text"])
+
+    def _fp(df):
+        # the SAME deterministic 64-bit value hash the HLL folded, deduped
+        # per batch (combiner — the exchange ships O(batch-distinct) ints)
+        h = pd.util.hash_array(df["text"].to_numpy())
+        return pd.DataFrame({"role": df["role"], "h": h}).drop_duplicates()
+
+    def _nunique(df):
+        return df.groupby("role", sort=False)["h"].nunique() \
+                 .rename("exact").reset_index()
+
+    exact = grouped_by_bucket(
+        ds.map_batches(_fp, batch_format="pandas"), ["role"], _nunique,
+    ).to_pandas()
+    m = est.merge(exact, on="role")
+    within = (np.abs(m.approx_distinct - m.exact) <= 0.05 * m.exact)
+    return pd.DataFrame({"role": m.role, "n": m.n.astype("int64"),
+                         "within": within.astype("int64")})
+
+
 _CEP_MULTI_SQL = f"""WITH s AS (
       SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS ts_us,
              lead(role, 1) OVER w AS role1, lead(role, 2) OVER w AS role2,

@@ -2382,3 +2382,140 @@ class StreamingDedupRunner:
                    "shards": len(files), "replayers": len(groups),
                    "replayer_rows": [int(r) for r in rows]}
         return kept, metrics
+
+
+# ---------------------------------------------------------------------------
+# Streaming approximate distinct (HLL-on-ingest): per-key cardinality with
+# CONSTANT state per key
+# ---------------------------------------------------------------------------
+
+
+@ray.remote(num_cpus=0.25)
+class HLLBucketActor:
+    """Per-key HyperLogLog register state for one hash bucket of keys.
+    Merge is element-wise max — associative/commutative, so shard
+    interleaving yields BIT-IDENTICAL registers to a single sequential pass
+    (unlike the sketch-quantile runner there is no error-bound caveat on
+    ordering). State is exactly ``2^p`` bytes per key plus an int64 row
+    count, independent of stream length or value cardinality."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.regs: dict = {}
+        self.counts: dict = {}
+
+    def process(self, keys: list, counts: np.ndarray, regs: list) -> None:
+        for k, c, raw in zip(keys, counts.tolist(), regs):
+            arr = np.frombuffer(raw, np.uint8)
+            cur = self.regs.get(k)
+            if cur is None:
+                self.regs[k] = arr.copy()
+                self.counts[k] = int(c)
+            else:
+                np.maximum(cur, arr, out=cur)
+                self.counts[k] += int(c)
+
+    def flush(self) -> pd.DataFrame:
+        from pipeflow_ray.functions.sketches import HyperLogLog
+
+        keys, ns, ests = [], [], []
+        for k, regs in self.regs.items():
+            h = HyperLogLog(self.p)
+            h.registers = regs
+            keys.append(k)
+            ns.append(self.counts[k])
+            ests.append(h.estimate())
+        return pd.DataFrame({"key": keys,
+                             "n": np.array(ns, np.int64),
+                             "approx_distinct": np.array(ests, np.float64)})
+
+    def state_size(self) -> int:
+        return int(sum(r.nbytes for r in self.regs.values()))
+
+
+@ray.remote(num_cpus=0.5)
+def _replay_hll_shard(files: list, key_col: str, value_col: str, p: int,
+                      micro_batch_rows: int, *buckets) -> int:
+    """Stream one shard group: hash the value column once per micro-batch
+    (pd.util.hash_array — the same deterministic 64-bit hash on every
+    worker), fold each key group's hashes into a fresh register array, and
+    route (key, rowcount, registers) to the key's bucket actor. Raw values
+    never leave the replayer."""
+    from pipeflow_ray.functions.sketches import HyperLogLog
+
+    nb = len(buckets)
+    rows = 0
+    pending: list = []
+    for f in files:
+        for rb in pq.ParquetFile(str(f)).iter_batches(
+            batch_size=micro_batch_rows, columns=[key_col, value_col]
+        ):
+            df = pa.Table.from_batches([rb]).to_pandas()
+            rows += len(df)
+            hashes = pd.util.hash_array(df[value_col].to_numpy())
+            per_bucket: dict = {}
+            for kv, idx in df.groupby(key_col, sort=False).indices.items():
+                h = HyperLogLog(p)
+                h.add_hashes(hashes[idx])
+                b = int(pd.util.hash_array(
+                    np.array([kv], dtype=object))[0] % np.uint64(nb))
+                ks, cs, rs = per_bucket.setdefault(b, ([], [], []))
+                ks.append(kv)
+                cs.append(len(idx))
+                rs.append(h.registers.tobytes())
+            pending.extend(
+                buckets[b].process.remote(ks, np.array(cs, np.int64), rs)
+                for b, (ks, cs, rs) in per_bucket.items()
+            )
+            if len(pending) > 256:
+                ray.get(pending)
+                pending = []
+    if pending:
+        ray.get(pending)
+    return rows
+
+
+class StreamingHLLRunner:
+    """Single-pass streaming per-key approximate-distinct on ingest: the
+    aggregate-on-ingest sibling of :class:`StreamingVocabRunner` /
+    :class:`StreamingDedupRunner` for cardinality telemetry (distinct users
+    per tenant, distinct prompts per role, ...). Replayers shrink each
+    micro-batch to one ``2^p``-byte register array per key; bucket actors
+    merge by element-wise max — state is O(keys · 2^p) bytes regardless of
+    stream length, where exact distinct (``StreamingDedupRunner``) holds
+    O(distinct) ints. Standard error ≈ 1.04/√(2^p) (p=12 → ~1.6%); the row
+    count ``n`` is exact. Registers after any shard interleaving are
+    bit-identical to a sequential pass, so a mid-stream flush is as
+    deterministic as an end-of-stream one."""
+
+    def __init__(self, key_col: str, value_col: str, p: int = 12,
+                 num_buckets: int = 4, max_replayers: int = 16):
+        self.key_col = key_col
+        self.value_col = value_col
+        self.p = p
+        self.num_buckets = num_buckets
+        self.max_replayers = max_replayers
+
+    def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
+        files = _shard_files(parquet_path)
+        groups = _shard_groups(files, self.max_replayers)
+        actors = [HLLBucketActor.remote(self.p) for _ in range(self.num_buckets)]
+        rows = ray.get([
+            _replay_hll_shard.remote(g, self.key_col, self.value_col, self.p,
+                                     micro_batch_rows, *actors)
+            for g in groups
+        ])
+        parts = [f for f in ray.get([a.flush.remote() for a in actors]) if len(f)]
+        state = int(sum(ray.get([a.state_size.remote() for a in actors])))
+        if parts:
+            result = pd.concat(parts, ignore_index=True) \
+                .rename(columns={"key": self.key_col})
+        else:
+            result = pd.DataFrame({self.key_col: pd.Series(dtype=object),
+                                   "n": pd.Series(dtype=np.int64),
+                                   "approx_distinct": pd.Series(dtype=np.float64)})
+        metrics = {"rows": int(sum(rows)), "keys": int(len(result)),
+                   "state_bytes": state, "shards": len(files),
+                   "replayers": len(groups),
+                   "replayer_rows": [int(r) for r in rows]}
+        return result, metrics

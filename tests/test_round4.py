@@ -192,3 +192,43 @@ def test_streaming_sketch_quantiles_multishard(tmp_path):
         assert row.n == len(g)
         for q, col in zip((0.25, 0.5, 0.75), ("p25", "p50", "p75")):
             assert abs(_true_rank(g, row[col]) - q) < 0.01, (row.k, q)
+
+
+def test_streaming_hll_multishard_matches_sequential(tmp_path):
+    """HLL-on-ingest over 5 interleaved shards: the merged registers (and so
+    the estimates) are BIT-IDENTICAL to a single sequential HLL per key —
+    element-wise max is fully order-insensitive — n is exact, the estimate
+    lands within the p=12 error bound, and state is constant per key."""
+    import os
+
+    from pipeflow_ray.functions.sketches import HyperLogLog
+    from pipeflow_ray.pipelines.streaming import StreamingHLLRunner
+
+    rng = np.random.default_rng(7)
+    n = 60_000
+    keys = rng.choice(["a", "b", "c"], n, p=[0.6, 0.3, 0.1])
+    # ~8k distinct values, heavy repetition
+    vals = np.array([f"v{int(x)}" for x in rng.integers(0, 8000, n)], object)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    shard_dir = str(tmp_path / "shards")
+    os.makedirs(shard_dir)
+    t = pa.table({"k": df.k.to_numpy(object), "v": df.v.to_numpy(object)})
+    per = (t.num_rows + 4) // 5
+    for i in range(5):
+        pq.write_table(t.slice(i * per, per),
+                       os.path.join(shard_dir, f"part-{i:05d}.parquet"))
+
+    out, metrics = StreamingHLLRunner("k", "v", num_buckets=3,
+                                      max_replayers=4).run(
+        shard_dir, micro_batch_rows=4096)
+    assert metrics["rows"] == n
+    assert metrics["state_bytes"] == 3 * 4096  # exactly 2^p bytes per key
+
+    for kv, g in df.groupby("k"):
+        seq = HyperLogLog(12)
+        seq.add_hashes(pd.util.hash_array(g.v.to_numpy()))
+        row = out[out.k == kv].iloc[0]
+        assert row.n == len(g)
+        assert row.approx_distinct == seq.estimate()  # bit-identical merge
+        exact = g.v.nunique()
+        assert abs(row.approx_distinct - exact) <= 0.05 * exact
