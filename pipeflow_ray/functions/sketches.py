@@ -234,3 +234,57 @@ def detect_hot_keys(
     partials = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
     out = partials.groupby("key", sort=False).cnt.sum().nlargest(top_k).reset_index()
     return out.rename(columns={"cnt": "approx_count"})
+
+
+def grouped_approx_distinct(
+    ds: ray.data.Dataset, key_cols: list[str], col: str, p: int = 12
+) -> ray.data.Dataset:
+    """Distributed PER-KEY approximate distinct count — the batch twin of
+    ``pipelines.streaming.StreamingHLLRunner``. Each batch shrinks to one
+    ``2^p``-byte register array per key it contains (the combiner: raw
+    values never cross the exchange); one key exchange later, bucket tasks
+    merge registers by element-wise max and read the estimates. Shuffle
+    volume is O(batches · keys-per-batch · 2^p) bytes and the result is
+    O(keys) rows — exact per-key distinct would ship every distinct value.
+    Returns (key_cols…, n, approx_distinct); ``n`` is exact; standard error
+    ≈ 1.04/√(2^p)."""
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df[col].to_numpy())
+        out: dict = {k: [] for k in key_cols}
+        regs, ns = [], []
+        for kv, idx in df.groupby(key_cols, sort=False).indices.items():
+            hll = HyperLogLog(p)
+            hll.add_hashes(h[idx])
+            if len(key_cols) == 1:
+                kv = (kv,)
+            for k, v in zip(key_cols, kv):
+                out[k].append(v)
+            regs.append(hll.registers.tobytes())
+            ns.append(len(idx))
+        out["__regs"] = regs
+        out["__n"] = np.array(ns, np.int64)
+        return pd.DataFrame(out)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        out: dict = {k: [] for k in key_cols}
+        ns, ests = [], []
+        raw = df["__regs"].to_numpy()
+        for kv, idx in df.groupby(key_cols, sort=False).indices.items():
+            stacked = np.stack([np.frombuffer(raw[i], np.uint8) for i in idx])
+            hll = HyperLogLog(p)
+            hll.registers = stacked.max(axis=0)
+            if len(key_cols) == 1:
+                kv = (kv,)
+            for k, v in zip(key_cols, kv):
+                out[k].append(v)
+            ns.append(int(df["__n"].to_numpy()[idx].sum()))
+            ests.append(hll.estimate())
+        out["n"] = np.array(ns, np.int64)
+        out["approx_distinct"] = np.array(ests, np.float64)
+        return pd.DataFrame(out)
+
+    return grouped_by_bucket(
+        ds.map_batches(_partial, batch_format="pandas"), key_cols, _merge
+    )

@@ -1201,6 +1201,32 @@ def streaming_sketch_quantiles(sf_dir):
     return _sketch_within(ds, "event_type", "value", est)
 
 
+def _hll_audit(ds, key_col: str, value_col: str, est: pd.DataFrame,
+               eps: float = 0.05) -> pd.DataFrame:
+    """Distributed exact-distinct audit for HLL estimates: per-batch
+    (key, hash) dedup combiner (the SAME deterministic 64-bit value hash
+    the HLL folded; the exchange ships O(batch-distinct) ints, never
+    values) → one key exchange → nunique per key. Returns (key, n, within)
+    with n exact and within = 1 iff |estimate − exact| ≤ eps·exact."""
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    def _fp(df):
+        h = pd.util.hash_array(df[value_col].to_numpy())
+        return pd.DataFrame({key_col: df[key_col], "h": h}).drop_duplicates()
+
+    def _nunique(df):
+        return df.groupby(key_col, sort=False)["h"].nunique() \
+                 .rename("exact").reset_index()
+
+    exact = grouped_by_bucket(
+        ds.map_batches(_fp, batch_format="pandas"), [key_col], _nunique,
+    ).to_pandas()
+    m = est.merge(exact, on=key_col)
+    within = np.abs(m.approx_distinct - m.exact) <= eps * m.exact
+    return pd.DataFrame({key_col: m[key_col], "n": m.n.astype("int64"),
+                         "within": within.astype("int64")})
+
+
 @q(
     "streaming_hll_distinct",
     f"""SELECT role, CAST(count(*) AS BIGINT) AS n, CAST(1 AS BIGINT) AS within
@@ -1212,34 +1238,35 @@ def streaming_hll_distinct(sf_dir):
     array per key, bucket actors merging by element-wise max — state
     O(keys · 2^p) bytes vs dedup-on-ingest's O(distinct) ints
     (pipelines/streaming.StreamingHLLRunner). Audited like the sketch
-    quantiles: a distributed exact-distinct pass (per-batch (role, hash)
-    dedup combiner → one role exchange → nunique) checks the estimate
-    within ±5% (p=12 standard error ~1.6%); n is exact."""
+    quantiles (`_hll_audit`): a distributed exact-distinct pass checks the
+    estimate within ±5% (p=12 standard error ~1.6%); n is exact."""
     from pipeflow_ray.pipelines.streaming import StreamingHLLRunner
-    from pipeflow_ray.stages.core import grouped_by_bucket
 
     est, _metrics = StreamingHLLRunner("role", "text", num_buckets=2).run(
         _tp(sf_dir))
-
     ds = ray.data.read_parquet(_tp(sf_dir), columns=["role", "text"])
+    return _hll_audit(ds, "role", "text", est)
 
-    def _fp(df):
-        # the SAME deterministic 64-bit value hash the HLL folded, deduped
-        # per batch (combiner — the exchange ships O(batch-distinct) ints)
-        h = pd.util.hash_array(df["text"].to_numpy())
-        return pd.DataFrame({"role": df["role"], "h": h}).drop_duplicates()
 
-    def _nunique(df):
-        return df.groupby("role", sort=False)["h"].nunique() \
-                 .rename("exact").reset_index()
+@q(
+    "hll_distinct_orders",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+              CAST(1 AS BIGINT) AS within
+       FROM orders GROUP BY o_orderpriority""",
+)
+def hll_distinct_orders(sf_dir):
+    """BATCH per-key approximate distinct (the StreamingHLLRunner twin):
+    distinct customers per order priority via per-(batch, key) HLL register
+    combiners merged after one key exchange — raw values never shuffle
+    (functions/sketches.grouped_approx_distinct). Same ±5% distributed
+    exact-distinct audit; n exact."""
+    from pipeflow_ray.functions.sketches import grouped_approx_distinct
 
-    exact = grouped_by_bucket(
-        ds.map_batches(_fp, batch_format="pandas"), ["role"], _nunique,
-    ).to_pandas()
-    m = est.merge(exact, on="role")
-    within = (np.abs(m.approx_distinct - m.exact) <= 0.05 * m.exact)
-    return pd.DataFrame({"role": m.role, "n": m.n.astype("int64"),
-                         "within": within.astype("int64")})
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderpriority", "o_custkey"])
+    est = grouped_approx_distinct(ds, ["o_orderpriority"], "o_custkey") \
+        .to_pandas()
+    return _hll_audit(ds, "o_orderpriority", "o_custkey", est)
 
 
 _CEP_MULTI_SQL = f"""WITH s AS (

@@ -232,3 +232,29 @@ def test_streaming_hll_multishard_matches_sequential(tmp_path):
         assert row.approx_distinct == seq.estimate()  # bit-identical merge
         exact = g.v.nunique()
         assert abs(row.approx_distinct - exact) <= 0.05 * exact
+
+
+def test_grouped_approx_distinct_matches_sequential_hll():
+    """Batch per-key HLL: estimates equal a sequential single-HLL-per-key
+    pass exactly (max-merge order insensitivity) and land within the p=12
+    error bound of the true distinct count."""
+    from pipeflow_ray.functions.sketches import (HyperLogLog,
+                                                 grouped_approx_distinct)
+
+    rng = np.random.default_rng(11)
+    n = 40_000
+    df = pd.DataFrame({
+        "k": rng.choice(["x", "y"], n),
+        "v": rng.integers(0, 5000, n),
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = grouped_approx_distinct(ds, ["k"], "v").to_pandas()
+    assert len(out) == 2
+    for kv, g in df.groupby("k"):
+        seq = HyperLogLog(12)
+        seq.add_hashes(pd.util.hash_array(g.v.to_numpy()))
+        row = out[out.k == kv].iloc[0]
+        assert row.n == len(g)
+        assert row.approx_distinct == seq.estimate()
+        exact = g.v.nunique()
+        assert abs(row.approx_distinct - exact) <= 0.05 * exact
