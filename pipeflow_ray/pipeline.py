@@ -486,6 +486,25 @@ class Pipeline:
 
         return self._chain(grouped_quantiles_sketch(self._ds, keys, value_col, qs, k=k))
 
+    def approx_distinct_by(self, keys: list[str], value_col: str,
+                           p: int = 12) -> "Pipeline":
+        """Per-key approximate distinct count via mergeable HLL register
+        combiners (2^p bytes/key of state, values never shuffle; standard
+        error ≈ 1.04/√(2^p)). Emits (keys…, n, approx_distinct); n exact."""
+        from pipeflow_ray.functions.sketches import grouped_approx_distinct
+
+        return self._chain(grouped_approx_distinct(self._ds, keys, value_col, p=p))
+
+    def unpivot(self, id_cols: list[str], value_cols: list[str],
+                name_col: str = "name", value_col: str = "value",
+                include_nulls: bool = False) -> "Pipeline":
+        """Wide→long reshape (SQL UNPIVOT / pandas melt) — stateless,
+        shuffle-free; NULL cells drop unless ``include_nulls``."""
+        from pipeflow_ray.stages.columns import unpivot as _unpivot
+
+        return self.map(_unpivot(id_cols, value_cols, name_col, value_col,
+                                 include_nulls))
+
     # -------------------------------------------------------------------- sinks
     def write_exactly_once(self, out_dir: str, part_by="conv_id", num_partitions: int = 32,
                            ts_col: str | None = "ts", lineage: dict | None = None):

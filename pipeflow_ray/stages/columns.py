@@ -84,9 +84,12 @@ def unpivot(
     one output row per entry of *value_cols*, carrying *id_cols*, the source
     column's name and its value. Stateless and shuffle-free — the output is
     a column-slice concat per batch (zero row materialization in Python);
-    heterogeneous value types promote via Arrow's permissive concat. NULL
-    cells are skipped by default (SQL UNPIVOT EXCLUDE NULLS semantics);
-    pass ``include_nulls=True`` for pandas-melt behavior."""
+    heterogeneous numeric value types promote via Arrow's permissive
+    concat, and value sets Arrow cannot merge (e.g. string + int) fall back
+    to a common string cast — the same implicit-VARCHAR promotion SQL
+    UNION/UNPIVOT applies. NULL cells are skipped by default (SQL UNPIVOT
+    EXCLUDE NULLS semantics); pass ``include_nulls=True`` for pandas-melt
+    behavior."""
 
     def _apply(t: pa.Table) -> pa.Table:
         pieces = []
@@ -98,7 +101,13 @@ def unpivot(
             if not include_nulls:
                 piece = piece.filter(pc.is_valid(piece[value_col]))
             pieces.append(piece)
-        return pa.concat_tables(pieces, promote_options="permissive")
+        try:
+            return pa.concat_tables(pieces, promote_options="permissive")
+        except pa.ArrowTypeError:
+            idx = pieces[0].schema.get_field_index(value_col)
+            pieces = [p.set_column(idx, value_col, pc.cast(p[value_col], pa.string()))
+                      for p in pieces]
+            return pa.concat_tables(pieces)
 
     return _apply
 

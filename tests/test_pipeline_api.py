@@ -180,3 +180,20 @@ def test_fluent_kleene_and_many(transcripts_table):
         .to_pandas()
     )
     assert set(combo.pattern) == {"utu", "ua"}
+
+
+def test_fluent_unpivot_and_approx_distinct_by():
+    import pyarrow as pa
+
+    from pipeflow_ray import Pipeline
+
+    t = pa.table({"id": [1, 2, 3, 4], "k": ["a", "a", "b", "b"],
+                  "x": [10, 20, 30, 40], "y": [1, None, 3, 4]})
+    out = (Pipeline.from_arrow(t).unpivot(["id"], ["x", "y"],
+                                          name_col="m", value_col="v")
+           .to_list())
+    assert len(out) == 7  # one NULL y cell dropped
+    est = (Pipeline.from_arrow(t).approx_distinct_by(["k"], "x")
+           .to_pandas().sort_values("k"))
+    assert est.n.tolist() == [2, 2]
+    assert ((est.approx_distinct - 2).abs() < 0.2).all()
