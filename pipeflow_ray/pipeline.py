@@ -495,6 +495,19 @@ class Pipeline:
 
         return self._chain(grouped_approx_distinct(self._ds, keys, value_col, p=p))
 
+    def pivot_wider(self, keys: list[str], name_col: str,
+                    value_col: str | None = None, agg: str = "sum",
+                    names: list[str] | None = None,
+                    prefix: str = "") -> "Pipeline":
+        """Long→wide pivot: one column per *name_col* category holding
+        ``agg`` of *value_col* (row counts when None). Categories are
+        discovered unless *names* is given; aggregation goes through the
+        partial combiner (≤ one shuffled row per key per batch)."""
+        from pipeflow_ray.stages.columns import pivot_wider as _pw
+
+        return self._chain(_pw(self._ds, keys, name_col, value_col, agg,
+                               names, prefix))
+
     def unpivot(self, id_cols: list[str], value_cols: list[str],
                 name_col: str = "name", value_col: str = "value",
                 include_nulls: bool = False) -> "Pipeline":

@@ -833,6 +833,43 @@ def role_pivot_transcripts(sf_dir):
 
 
 @q(
+    "pivot_wider_transcripts",
+    f"""SELECT conv_id,
+               CAST(sum(CASE WHEN role = 'assistant'
+                             THEN length(coalesce(text, '')) ELSE 0 END) AS BIGINT)
+                   AS chars_assistant,
+               CAST(sum(CASE WHEN role = 'tool'
+                             THEN length(coalesce(text, '')) ELSE 0 END) AS BIGINT)
+                   AS chars_tool,
+               CAST(sum(CASE WHEN role = 'user'
+                             THEN length(coalesce(text, '')) ELSE 0 END) AS BIGINT)
+                   AS chars_user
+        FROM read_parquet('{_TP001}') GROUP BY conv_id""",
+)
+def pivot_wider_transcripts(sf_dir):
+    """GENERIC long→wide pivot (the unpivot inverse, subsuming the
+    hand-rolled role_pivot): per-conversation character totals split by
+    role, with the category set DISCOVERED from the data (a tiny distinct
+    pass), then one indicator projection into the partial-aggregate
+    combiner (stages/columns.pivot_wider)."""
+    from pipeflow_ray.stages.columns import pivot_wider
+
+    ds = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id", "role", "text"])
+
+    def _nc(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "role": t["role"],
+                "nc": pc.utf8_length(pc.fill_null(t["text"], "")).cast(pa.int64()),
+            }
+        )
+
+    return pivot_wider(ds.map_batches(_nc, batch_format="pyarrow"),
+                       ["conv_id"], "role", "nc", agg="sum", prefix="chars_")
+
+
+@q(
     "semi_join_customers",
     """SELECT c_custkey, c_mktsegment FROM customer c
        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",

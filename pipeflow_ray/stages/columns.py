@@ -112,6 +112,69 @@ def unpivot(
     return _apply
 
 
+def pivot_wider(
+    ds,
+    keys: list[str],
+    name_col: str,
+    value_col: str | None = None,
+    agg: str = "sum",
+    names: list[str] | None = None,
+    prefix: str = "",
+):
+    """Long→wide reshape (the :func:`unpivot` inverse; generalizes the
+    conditional-aggregation pivot): one output row per *keys* group, one
+    column per distinct *name_col* category holding ``agg`` of *value_col*
+    (or row counts when *value_col* is None). Two stages: a driver-side
+    category discovery (O(categories) rows — pass *names* to skip it; a
+    category column at 100 TB is enum-like by construction) then a single
+    per-batch indicator projection into the partial-aggregate combiner, so
+    the shuffle moves ≤ one partial row per key per batch. ``agg`` must be
+    decomposable (sum/count/min/max). Missing (key, category) cells are 0
+    for sum/count (SQL conditional-aggregation semantics)."""
+    import ray.data  # noqa: F401  (ds is a ray.data.Dataset)
+
+    from pipeflow_ray.stages.window import partial_aggregate
+
+    if names is None:
+        from pipeflow_ray.stages.dedup import distinct_rows
+
+        names = sorted(
+            r[name_col] for r in distinct_rows(ds, [name_col]).take_all()
+        )
+    names = list(names)
+    safe_cols = [f"__p{i}" for i in range(len(names))]
+
+    def _indicators(t: pa.Table) -> pa.Table:
+        cat = t[name_col]
+        cols = {k: t[k] for k in keys}
+        if value_col is None:
+            one, zero = pa.scalar(1, pa.int64()), pa.scalar(0, pa.int64())
+            for nm, sc in zip(names, safe_cols):
+                cols[sc] = pc.if_else(pc.equal(cat, nm), one, zero)
+        else:
+            val = t[value_col]
+            if agg in ("sum", "count"):
+                neutral = pa.scalar(0, val.type if agg == "sum" else pa.int64())
+                v = val if agg == "sum" else pc.cast(pc.is_valid(val), pa.int64())
+                for nm, sc in zip(names, safe_cols):
+                    cols[sc] = pc.if_else(pc.equal(cat, nm), v, neutral)
+            else:  # min/max: null outside the category (ignored by the agg)
+                null = pa.scalar(None, val.type)
+                for nm, sc in zip(names, safe_cols):
+                    cols[sc] = pc.if_else(pc.equal(cat, nm), val, null)
+        return pa.table(cols)
+
+    kind = "sum" if (value_col is None or agg == "count") else agg
+    specs = {sc: (kind, sc) for sc in safe_cols}
+    out = partial_aggregate(ds.map_batches(_indicators, batch_format="pyarrow"),
+                            keys, specs)
+    rename = {sc: f"{prefix}{nm}" for sc, nm in zip(safe_cols, names)}
+    return out.map_batches(
+        lambda t: t.rename_columns([rename.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow",
+    )
+
+
 def cast_columns(casts: dict[str, pa.DataType], safe: bool = True) -> Callable[[pa.Table], pa.Table]:
     """Batch-level typed coercion — the engine analog of the reference's
     per-cell ``GetValue<T>`` ``Convert.ChangeType`` (``PipeFlow/DataRow.cs:67-102``)."""

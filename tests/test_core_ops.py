@@ -220,3 +220,32 @@ def test_unpivot_include_nulls_and_promotion():
     t2 = pa.table({"id": [1, 2], "a": [None, 7], "b": [1, None]})
     out2 = unpivot(["id"], ["a", "b"], include_nulls=True)(t2)
     assert out2.num_rows == 4  # pandas-melt semantics keeps NULL cells
+
+
+def test_pivot_wider_roundtrip_and_aggs():
+    import ray.data
+
+    from pipeflow_ray.stages.columns import pivot_wider, unpivot
+
+    t = pa.table({"k": [1, 1, 2, 2, 2], "cat": ["a", "b", "a", "a", "c"],
+                  "v": [10, 20, 1, 2, 7]})
+    ds = ray.data.from_arrow(t).repartition(3)
+    wide = pivot_wider(ds, ["k"], "cat", "v", agg="sum").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert wide.columns.tolist() == ["k", "a", "b", "c"]
+    assert wide.a.tolist() == [10, 3] and wide.b.tolist() == [20, 0] \
+        and wide.c.tolist() == [0, 7]
+    # counts mode (value_col=None) and explicit names order
+    cnt = pivot_wider(ds, ["k"], "cat", None, names=["c", "a"],
+                      prefix="n_").to_pandas().sort_values("k")
+    assert cnt.n_a.tolist() == [1, 2] and cnt.n_c.tolist() == [0, 1]
+    # min agg ignores out-of-category rows via nulls
+    mn = pivot_wider(ds, ["k"], "cat", "v", agg="min").to_pandas() \
+        .sort_values("k")
+    assert mn.a.tolist() == [10, 1]
+    # unpivot(pivot) restores the summed long form for present cells
+    back = unpivot(["k"], ["a", "b", "c"], name_col="cat", value_col="v")(
+        pa.Table.from_pandas(wide, preserve_index=False))
+    got = sorted(zip(back["k"].to_pylist(), back["cat"].to_pylist(),
+                     back["v"].to_pylist()))
+    assert (1, "a", 10) in got and (2, "a", 3) in got and len(got) == 6
