@@ -217,3 +217,52 @@ def test_cep_scan_matches_property(df, case):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+@st.composite
+def categorical_values(draw):
+    n = draw(st.integers(5, 120))
+    keys = draw(st.lists(st.integers(0, 4), min_size=n, max_size=n))
+    cats = draw(st.lists(st.sampled_from(["a", "b", "c"]), min_size=n, max_size=n))
+    vals = draw(st.lists(st.integers(-50, 50), min_size=n, max_size=n))
+    return pa.table({"k": pa.array(keys, pa.int64()),
+                     "cat": pa.array(cats, pa.string()),
+                     "v": pa.array(vals, pa.int64())})
+
+
+@given(categorical_values())
+@_settings
+def test_pivot_wider_matches_pandas_pivot_table(t):
+    from pipeflow_ray.stages.columns import pivot_wider
+
+    out = (pivot_wider(ray.data.from_arrow(t).repartition(3), ["k"], "cat", "v",
+                       agg="sum")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    ref = (t.to_pandas().pivot_table(index="k", columns="cat", values="v",
+                                     aggfunc="sum", fill_value=0)
+           .reindex(columns=sorted(t["cat"].to_pylist() and
+                                   set(t["cat"].to_pylist())), fill_value=0)
+           .reset_index())
+    ref.columns.name = None
+    assert out.columns.tolist() == ref.columns.tolist()
+    for c in out.columns:
+        assert (out[c].to_numpy() == ref[c].to_numpy()).all(), c
+
+
+@given(categorical_values())
+@_settings
+def test_unpivot_pivot_roundtrip_property(t):
+    """unpivot(pivot_wider(x)) over sum-aggregated data recovers exactly the
+    per-(key, category) sums present in the input (absent cells emit 0 from
+    the pivot and survive the melt with include_nulls=False)."""
+    from pipeflow_ray.stages.columns import pivot_wider, unpivot
+
+    cats = sorted(set(t["cat"].to_pylist()))
+    wide = pivot_wider(ray.data.from_arrow(t).repartition(2), ["k"], "cat", "v",
+                       agg="sum", names=cats).to_pandas()
+    back = unpivot(["k"], cats, name_col="cat", value_col="v")(
+        pa.Table.from_pandas(wide, preserve_index=False)).to_pandas()
+    ref = (t.to_pandas().groupby(["k", "cat"]).v.sum().reset_index())
+    merged = back.merge(ref, on=["k", "cat"], how="left", suffixes=("", "_ref"))
+    merged["v_ref"] = merged.v_ref.fillna(0)
+    assert (merged.v == merged.v_ref).all()
