@@ -1306,6 +1306,41 @@ def hll_distinct_orders(sf_dir):
     return _hll_audit(ds, "o_orderpriority", "o_custkey", est)
 
 
+@q(
+    "streaming_topk_convs",
+    f"""SELECT conv_id, n FROM (
+          SELECT conv_id, CAST(count(*) AS BIGINT) AS n,
+                 row_number() OVER (ORDER BY count(*) DESC, conv_id) AS rn
+          FROM read_parquet('{_TP001}') GROUP BY conv_id) WHERE rn <= 3""",
+)
+def streaming_topk_convs(sf_dir):
+    """STREAMING heavy hitters on ingest: the 3 hottest conversations found
+    with BOUNDED state (space-saving summaries, ≤ num_buckets × m entries
+    total regardless of distinct-conversation count —
+    pipelines/streaming.StreamingTopKRunner), then an exact recount of just
+    the ≤64 sketch candidates (broadcast id list, one combiner pass) makes
+    the emitted counts exact. The fixture's zipf skew puts the true top-3
+    far above the retention threshold (bucket_rows / m), so the candidate
+    set provably contains them."""
+    from pipeflow_ray.pipelines.streaming import StreamingTopKRunner
+    from pipeflow_ray.stages.window import partial_aggregate
+
+    res, _metrics = StreamingTopKRunner("conv_id", m=128, num_buckets=4).run(
+        _tp(sf_dir))
+    cand = pa.array(res.head(64)[ "conv_id" ].tolist())
+
+    ds = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id"])
+
+    def _flt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["conv_id"], value_set=cand))
+
+    agg = partial_aggregate(ds.map_batches(_flt, batch_format="pyarrow"),
+                            ["conv_id"], {"n": ("count", None)}).to_pandas()
+    top = agg.sort_values(["n", "conv_id"], ascending=[False, True]).head(3)
+    return pd.DataFrame({"conv_id": top.conv_id,
+                         "n": top.n.astype("int64")}).reset_index(drop=True)
+
+
 _CEP_MULTI_SQL = f"""WITH s AS (
       SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS ts_us,
              lead(role, 1) OVER w AS role1, lead(role, 2) OVER w AS role2,

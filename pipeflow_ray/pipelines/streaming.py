@@ -2519,3 +2519,126 @@ class StreamingHLLRunner:
                    "replayers": len(groups),
                    "replayer_rows": [int(r) for r in rows]}
         return result, metrics
+
+
+# ---------------------------------------------------------------------------
+# Streaming top-k (heavy hitters on ingest): mergeable space-saving summaries
+# with bounded per-bucket state
+# ---------------------------------------------------------------------------
+
+
+@ray.remote(num_cpus=0.25)
+class TopKBucketActor:
+    """Space-saving summary (Metwally et al., mergeable batched variant) for
+    one hash bucket of keys. Holds at most *m* (key → [count_upper, err])
+    entries; a batch partial (key, cnt) either adds to an existing entry,
+    fills a free slot with (cnt, 0), or evicts the current minimum —
+    inheriting its upper bound as error: new = (min + cnt, min). Invariants
+    (per bucket, n_b = rows routed here): count_upper − err ≤ true ≤
+    count_upper, and every key with true count > n_b / m is retained.
+    Each key lives in exactly ONE bucket (hash routing), so per-bucket
+    guarantees compose by union — no cross-bucket merge is needed."""
+
+    def __init__(self, m: int = 256):
+        self.m = m
+        self.state: dict = {}  # key -> [count_upper, err]
+        self.rows = 0
+
+    def process(self, keys: list, counts: np.ndarray) -> None:
+        state, m = self.state, self.m
+        self.rows += int(counts.sum())
+        for k, c in zip(keys, counts.tolist()):
+            cur = state.get(k)
+            if cur is not None:
+                cur[0] += int(c)
+            elif len(state) < m:
+                state[k] = [int(c), 0]
+            else:
+                mn_k = min(state, key=lambda q: state[q][0])
+                mn = state.pop(mn_k)[0]
+                state[k] = [mn + int(c), mn]
+
+    def flush(self) -> pd.DataFrame:
+        ks = list(self.state.keys())
+        arr = (np.array(list(self.state.values()), np.int64).reshape(-1, 2)
+               if ks else np.empty((0, 2), np.int64))
+        return pd.DataFrame({"key": ks, "est": arr[:, 0], "err": arr[:, 1],
+                             "bucket_rows": np.full(len(ks), self.rows,
+                                                    np.int64)})
+
+
+@ray.remote(num_cpus=0.5)
+def _replay_topk_shard(files: list, key_col: str, micro_batch_rows: int,
+                       *buckets) -> int:
+    """Stream one shard group: per micro-batch exact key counts (the
+    combiner — the actor sees one partial per key per batch), routed by the
+    same deterministic key hash as every other on-ingest runner."""
+    nb = len(buckets)
+    rows = 0
+    pending: list = []
+    for f in files:
+        for rb in pq.ParquetFile(str(f)).iter_batches(
+            batch_size=micro_batch_rows, columns=[key_col]
+        ):
+            vc = pa.Table.from_batches([rb])[key_col].to_pandas().value_counts()
+            rows += int(vc.sum())
+            keys = vc.index.to_numpy(dtype=object)
+            b = pd.util.hash_array(keys) % np.uint64(nb)
+            pending.extend(
+                buckets[k].process.remote(list(keys[b == k]),
+                                          vc.to_numpy()[b == k])
+                for k in range(nb) if (b == k).any()
+            )
+            if len(pending) > 256:
+                ray.get(pending)
+                pending = []
+    if pending:
+        ray.get(pending)
+    return rows
+
+
+class StreamingTopKRunner:
+    """Single-pass streaming heavy hitters: bounded-state top-k candidates
+    over an UNBOUNDED key column — the on-ingest counterpart of the batch
+    :func:`~pipeflow_ray.functions.sketches.detect_hot_keys`. State is at
+    most ``num_buckets × m`` (key, int, int) entries no matter how many
+    distinct keys stream past; every key whose true count exceeds its
+    bucket's rows / m is guaranteed retained, with per-key bounds
+    ``est − err ≤ true ≤ est``. The returned frame carries est/err/
+    bucket_rows so callers can select PROVEN heavy keys (est − err above
+    the competition's est) or feed the candidates to a tiny exact recount
+    (the pattern streaming_topk_convs gates)."""
+
+    def __init__(self, key_col: str, m: int = 256, num_buckets: int = 4,
+                 max_replayers: int = 16):
+        self.key_col = key_col
+        self.m = m
+        self.num_buckets = num_buckets
+        self.max_replayers = max_replayers
+
+    def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
+        files = _shard_files(parquet_path)
+        groups = _shard_groups(files, self.max_replayers)
+        actors = [TopKBucketActor.remote(self.m)
+                  for _ in range(self.num_buckets)]
+        rows = ray.get([
+            _replay_topk_shard.remote(g, self.key_col, micro_batch_rows,
+                                      *actors)
+            for g in groups
+        ])
+        parts = [f for f in ray.get([a.flush.remote() for a in actors])
+                 if len(f)]
+        if parts:
+            result = pd.concat(parts, ignore_index=True) \
+                .rename(columns={"key": self.key_col}) \
+                .sort_values("est", ascending=False, ignore_index=True)
+        else:
+            result = pd.DataFrame({self.key_col: pd.Series(dtype=object),
+                                   "est": pd.Series(dtype=np.int64),
+                                   "err": pd.Series(dtype=np.int64),
+                                   "bucket_rows": pd.Series(dtype=np.int64)})
+        metrics = {"rows": int(sum(rows)), "retained": int(len(result)),
+                   "state_cap": self.num_buckets * self.m,
+                   "shards": len(files), "replayers": len(groups),
+                   "replayer_rows": [int(r) for r in rows]}
+        return result, metrics

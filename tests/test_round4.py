@@ -258,3 +258,52 @@ def test_grouped_approx_distinct_matches_sequential_hll():
         assert row.approx_distinct == seq.estimate()
         exact = g.v.nunique()
         assert abs(row.approx_distinct - exact) <= 0.05 * exact
+
+
+def test_streaming_topk_space_saving_invariants(tmp_path):
+    """Space-saving on-ingest over interleaved shards: per-key bounds
+    est−err ≤ true ≤ est hold for every retained key, every key above the
+    per-bucket retention threshold IS retained, state respects the cap, and
+    the proven top keys match the exact top."""
+    import os
+
+    from pipeflow_ray.pipelines.streaming import StreamingTopKRunner
+
+    rng = np.random.default_rng(23)
+    # zipf-ish: few heavy keys over a long tail of 2000 distinct keys
+    tail = np.array([f"t{int(x)}" for x in rng.integers(0, 2000, 30_000)], object)
+    heavy = np.repeat(np.array(["H1", "H2", "H3"], object), [4000, 2500, 1500])
+    keys = rng.permutation(np.concatenate([tail, heavy]))
+    df = pd.DataFrame({"k": keys})
+    shard_dir = str(tmp_path / "shards")
+    os.makedirs(shard_dir)
+    t = pa.table({"k": df.k.to_numpy(object)})
+    per = (t.num_rows + 3) // 4
+    for i in range(4):
+        pq.write_table(t.slice(i * per, per),
+                       os.path.join(shard_dir, f"part-{i:05d}.parquet"))
+
+    m = 64
+    out, metrics = StreamingTopKRunner("k", m=m, num_buckets=4,
+                                       max_replayers=3).run(
+        shard_dir, micro_batch_rows=2048)
+    assert metrics["rows"] == len(df)
+    assert metrics["retained"] <= metrics["state_cap"] == 4 * m
+
+    true = df.k.value_counts()
+    merged = out.assign(true=out.k.map(true).fillna(0).astype(np.int64))
+    assert (merged.est - merged.err <= merged.true).all()
+    assert (merged.true <= merged.est).all()
+    # retention guarantee per bucket: true > bucket_rows / m ⇒ retained
+    for _, r in merged.iterrows():
+        pass  # bounds asserted vectorized above
+    thresh = merged.bucket_rows.max() / m
+    must_keep = true[true > thresh].index
+    assert set(must_keep) <= set(out.k), "guaranteed-heavy key evicted"
+    # the heavies are provably on top: guaranteed count beats every
+    # competitor's upper bound
+    for h, n_true in (("H1", 4000), ("H2", 2500), ("H3", 1500)):
+        row = merged[merged.k == h].iloc[0]
+        assert row.true == n_true
+        rivals = merged[~merged.k.isin(["H1", "H2", "H3"])]
+        assert (row.est - row.err) > rivals.est.max()
