@@ -87,11 +87,16 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "minhash_pairs_docs",
         "ann_topk",
         "sketch_quantiles_price",
+        "unpivot_lineitem",
+        "pivot_wider_transcripts",
+        "hll_distinct_orders",
         "hash_join_segment",
         "streaming_sessions",
         "streaming_cep_pattern",
         "streaming_join",
         "streaming_sketch_quantiles",
+        "streaming_hll_distinct",
+        "streaming_topk_convs",
     ]
     reps = int(os.environ.get("GRAFT_QUERY_REPS", "2"))
     out = {}

@@ -1319,15 +1319,25 @@ def streaming_topk_convs(sf_dir):
     total regardless of distinct-conversation count —
     pipelines/streaming.StreamingTopKRunner), then an exact recount of just
     the ≤64 sketch candidates (broadcast id list, one combiner pass) makes
-    the emitted counts exact. The fixture's zipf skew puts the true top-3
-    far above the retention threshold (bucket_rows / m), so the candidate
-    set provably contains them."""
+    the emitted counts exact. Sizing rule: a key is guaranteed retained
+    when its count exceeds bucket_rows / m, so m must exceed
+    bucket_rows / (target count) — the fixture's rank-2+ conversations sit
+    near 500 turns at every sf, so m = 1024 covers the bench scales
+    (sf0.1: 125k rows/bucket → threshold ≈ 122 ≪ 502) while state stays
+    ≤ 4096 entries regardless of conversation count."""
     from pipeflow_ray.pipelines.streaming import StreamingTopKRunner
     from pipeflow_ray.stages.window import partial_aggregate
 
-    res, _metrics = StreamingTopKRunner("conv_id", m=128, num_buckets=4).run(
+    res, _metrics = StreamingTopKRunner("conv_id", m=1024, num_buckets=4).run(
         _tp(sf_dir))
-    cand = pa.array(res.head(64)[ "conv_id" ].tolist())
+    # Sound candidate rule (tie-safe): anything that could still be top-3
+    # has est ≥ L, the 3rd-largest guaranteed lower bound (est − err); keys
+    # never retained have true ≤ bucket_rows/m < L under the sizing rule
+    # above, so the candidate set provably contains every top-3 contender —
+    # including ALL members of a tie at the boundary, whichever shard
+    # interleaving the sketch saw.
+    lower = (res.est - res.err).nlargest(3).iloc[-1]
+    cand = pa.array(res.loc[res.est >= lower, "conv_id"].tolist())
 
     ds = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id"])
 
