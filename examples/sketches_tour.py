@@ -50,11 +50,18 @@ def main():
     print("price p50/p95 per returnflag (KLL, ~0.6% rank error):")
     print(q.to_string(index=False), "\n")
 
-    # --- heavy hitters --------------------------------------------------
+    # --- heavy hitters: batch and on-ingest ------------------------------
     hot = detect_hot_keys(ray.data.read_parquet(tp, columns=["conv_id"]),
                           "conv_id", top_k=3)
-    print("hottest conversations (salting candidates):")
+    print("hottest conversations (batch partial counts):")
     print(hot.to_string(index=False), "\n")
+
+    from pipeflow_ray.pipelines.streaming import StreamingTopKRunner
+
+    sk, mtop = StreamingTopKRunner("conv_id", m=64, num_buckets=4).run(tp)
+    print("same, streamed with bounded state "
+          f"({mtop['retained']}/{mtop['state_cap']} entries; est−err ≤ true ≤ est):")
+    print(sk.head(3)[["conv_id", "est", "err"]].to_string(index=False), "\n")
 
     # --- deterministic mixture assembly ---------------------------------
     docs = ray.data.read_parquet(f"{sf}/documents.parquet",
