@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 import ray.data
@@ -867,6 +868,46 @@ def pivot_wider_transcripts(sf_dir):
 
     return pivot_wider(ds.map_batches(_nc, batch_format="pyarrow"),
                        ["conv_id"], "role", "nc", agg="sum", prefix="chars_")
+
+
+@q(
+    "bloom_join_orders",
+    """SELECT o.o_orderkey, o.o_custkey,
+              CAST(floor(o.o_totalprice * 100) AS BIGINT) AS price_c,
+              c.c_nationkey
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_nationkey = 7""",
+)
+def bloom_join_orders(sf_dir):
+    """Low-selectivity join behind a BLOOM PREFILTER: orders joined to the
+    ~1/25 of customers in one nation — the probe side is pruned to
+    matching + ~0.2% FP rows BEFORE its exchange (no false negatives, so
+    the inner-join result is exactly the unfiltered one; the SQL oracle
+    states that equality). The shuffle-volume story for sparse joins at
+    100 TB (stages/join.bloom_prefilter)."""
+    from pipeflow_ray.stages.join import bloom_prefilter, hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
+        filter=pads.field("c_nationkey") == 7,
+    )
+
+    def _ckey(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["c_custkey"],
+                         "c_nationkey": t["c_nationkey"].cast(pa.int32())})
+
+    build = cust.map_batches(_ckey, batch_format="pyarrow")
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _price(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "price_c": _floor_cents(t["o_totalprice"])})
+
+    probe = bloom_prefilter(orders.map_batches(_price, batch_format="pyarrow"),
+                            build, "o_custkey")
+    return hash_join(probe, build, on="o_custkey", how="inner")
 
 
 @q(

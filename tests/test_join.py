@@ -159,3 +159,33 @@ def test_interval_join_boundaries_and_unmatched():
     assert out.eid.tolist() == [1, 2, 3, 4]
     assert out.iv.tolist() == ["a1", "a1", "a2", "b1"]
     assert out.start_us.tolist() == [10, 10, 30, 0]
+
+
+def test_bloom_prefilter_prunes_without_false_negatives():
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from pipeflow_ray.stages.join import bloom_prefilter, hash_join
+
+    rng = np.random.default_rng(5)
+    probe = pd.DataFrame({"k": rng.integers(0, 100_000, 50_000),
+                          "v": np.arange(50_000)})
+    build = pd.DataFrame({"k": rng.choice(100_000, 500, replace=False)})
+    pds = ray.data.from_pandas(probe).repartition(6)
+    bds = ray.data.from_pandas(build).repartition(2)
+
+    filtered = bloom_prefilter(pds, bds, "k")
+    kept = filtered.count()
+    true_matches = int(probe.k.isin(build.k).sum())
+    # no false negatives; FP ≈ 0.2% of the non-matching rows at 16 bits
+    assert kept >= true_matches
+    assert kept <= true_matches + int(0.01 * len(probe)) + 10
+
+    a = (hash_join(filtered, bds, on="k", how="inner").to_pandas()
+         .sort_values(["k", "v"]).reset_index(drop=True))
+    b = (hash_join(pds, bds, on="k", how="inner").to_pandas()
+         .sort_values(["k", "v"]).reset_index(drop=True))
+    assert a.equals(b)
+    assert len(a) == true_matches
