@@ -23,14 +23,55 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
-def _headline(sf_dir: str, out_root: str) -> tuple[float, int]:
-    """Flagship chain: read transcripts → normalize → stateful join →
-    tumbling window aggregate → exactly-once partitioned sink.
-    Returns (wall seconds, input turns)."""
+# Contention canary: a single-process, deterministic, stateless CPU kernel
+# (the winnow fingerprint pass — the steadiest query across all four rounds,
+# ±6%). Its wall time against the pinned idle reference below detects host
+# contention that absolute bench numbers would otherwise silently absorb.
+CANARY_REF_S = 0.245  # best-known idle wall of _canary() on this VM (r5)
+CANARY_INFLATED = 1.25  # canary/ref above this ⇒ contended host ⇒ more reps
+
+
+def _canary_table():
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    words = np.array(["tok%03d" % i for i in range(512)], dtype=object)
+    docs = [" ".join(rng.choice(words, size=120)) for _ in range(4500)]
+    return pa.table({"doc_id": list(range(len(docs))), "text": docs})
+
+
+def _canary(tab=None) -> float:
+    """Median-of-3 wall of the deterministic winnow kernel (driver process
+    only — no Ray, no IO). Median, not min: the canary's job is to SEE
+    contention, not hide it."""
+    from pipeflow_ray.functions.text import winnow_batch
+
+    tab = tab if tab is not None else _canary_table()
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        winnow_batch(tab)
+        walls.append(time.perf_counter() - t0)
+    return sorted(walls)[1]
+
+
+def _headline(sf_dir: str, out_root: str, reps: int) -> dict:
+    """Flagship chain (read transcripts → normalize → stateful join →
+    tumbling window aggregate → exactly-once partitioned sink), run
+    INTERLEAVED rep-by-rep with the FROZEN r4 snapshot of the same pipeline
+    (`pipelines/pinned_flagship_r4.py`) in the same Ray session. The
+    `ab_ratio` (live min / pinned min) is the contention-proof artifact:
+    both sides see the same host state, so the ratio is stable when the
+    absolute walls are not (round-4 VERDICT #1)."""
     import pyarrow.parquet as pq
 
     from pipeflow_ray.fixtures import ensure_transcripts
     from pipeflow_ray.pipelines.flagship import flagship_pipeline
+
+    run_ab = not os.environ.get("GRAFT_NO_AB")
+    if run_ab:
+        from pipeflow_ray.pipelines.pinned_flagship_r4 import pinned_flagship
 
     path = ensure_transcripts(sf_dir)
     files = sorted(
@@ -43,21 +84,48 @@ def _headline(sf_dir: str, out_root: str) -> tuple[float, int]:
                 pass
     # warm the Ray workers + plan path on the small fixture (untimed) so the
     # measurement is sustained throughput, not one-time process startup
+    warm = ensure_transcripts(0.001)
     warm_dir = os.path.join(out_root, "warmup_out")
     shutil.rmtree(warm_dir, ignore_errors=True)
-    flagship_pipeline(ensure_transcripts(0.001), out_dir=warm_dir, num_partitions=8)
-    best = float("inf")
-    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
-    for _ in range(reps):
-        out_dir = os.path.join(out_root, "flagship_out")
+    flagship_pipeline(warm, out_dir=warm_dir, num_partitions=8)
+    if run_ab:
+        shutil.rmtree(warm_dir, ignore_errors=True)
+        pinned_flagship(warm, out_dir=warm_dir, num_partitions=8)
+
+    def _run(side: str) -> float:
+        out_dir = os.path.join(out_root, f"{side}_out")
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
-        flagship_pipeline(path, out_dir=out_dir, num_partitions=64, return_windowed=False)
-        best = min(best, time.perf_counter() - t0)
-    return best, n_turns
+        if side == "pinned":
+            pinned_flagship(path, out_dir=out_dir, num_partitions=64)
+        else:
+            flagship_pipeline(path, out_dir=out_dir, num_partitions=64,
+                              return_windowed=False)
+        return time.perf_counter() - t0
+
+    live, pinned = [], []
+    for i in range(reps):
+        if run_ab:
+            # alternate which side goes first so slow drift cancels across reps
+            for side in (("pinned", "live") if i % 2 == 0 else ("live", "pinned")):
+                (pinned if side == "pinned" else live).append(_run(side))
+        else:
+            live.append(_run("live"))
+    out = {"value": round(min(live), 3), "turns": n_turns}
+    if run_ab:
+        pairs = [[round(p, 3), round(c, 3)] for p, c in zip(pinned, live)]
+        ratios = sorted(c / p for p, c in zip(pinned, live))
+        out.update({
+            "baseline_sec": round(min(pinned), 3),
+            "ab_ratio": round(min(live) / min(pinned), 3),
+            "ab_ratio_paired_median": round(ratios[len(ratios) // 2], 3),
+            "ab_pairs": pairs,
+            "ab_baseline": "pinned_flagship_r4 (frozen r4 flagship, commit ffc7f36)",
+        })
+    return out
 
 
-def _run_queries(sf_dir: str) -> dict[str, float]:
+def _run_queries(sf_dir: str, reps: int = 2) -> dict[str, float]:
     """Representative per-operator timings (full consumption each),
     min-of-N reps (GRAFT_QUERY_REPS, default 2) — the min is robust to the
     shared host's intermittent ~30% contention spikes (see BASELINE.md
@@ -98,7 +166,6 @@ def _run_queries(sf_dir: str) -> dict[str, float]:
         "streaming_hll_distinct",
         "streaming_topk_convs",
     ]
-    reps = int(os.environ.get("GRAFT_QUERY_REPS", "2"))
     out = {}
     for name in names:
         best = float("inf")
@@ -141,23 +208,44 @@ def bench_once() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    wall, n_turns = _headline(sf_dir, "/tmp/pipeflow_bench")
-    queries = {} if os.environ.get("GRAFT_HEADLINE_ONLY") else _run_queries(sf_dir)
+    # contention canary: adaptive reps — an inflated canary means the host is
+    # contended RIGHT NOW, so buy robustness with more min-of-N samples
+    ctab = _canary_table()
+    canary_start = _canary(ctab)
+    contended = canary_start / CANARY_REF_S > CANARY_INFLATED
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "6" if contended else "3"))
+    query_reps = int(os.environ.get("GRAFT_QUERY_REPS", "3" if contended else "2"))
+
+    head = _headline(sf_dir, "/tmp/pipeflow_bench", reps)
+    queries = {} if os.environ.get("GRAFT_HEADLINE_ONLY") else _run_queries(sf_dir, query_reps)
+    canary_end = _canary(ctab)
 
     from pipeflow_ray.fixtures import sf_of_dir
 
+    wall, n_turns = head["value"], head["turns"]
     result = {
         "metric": "flagship transcripts pipeline (read→normalize→join→window agg→exactly-once sink) wall time",
-        "value": round(wall, 3),
+        "value": wall,
         "unit": "sec",
         "queries": queries,
         "sf": sf_of_dir(sf_dir),
         "num_cpus": num_cpus,
         "turns": n_turns,
         "turns_per_sec": round(n_turns / wall, 1),
-        "headline_reps": int(os.environ.get("GRAFT_BENCH_REPS", "3")),
-        "query_reps": int(os.environ.get("GRAFT_QUERY_REPS", "2")),
+        "headline_reps": reps,
+        "query_reps": query_reps,
+        "canary": {
+            "start_s": round(canary_start, 3),
+            "end_s": round(canary_end, 3),
+            "ref_s": CANARY_REF_S,
+            "inflation": round(canary_start / CANARY_REF_S, 2),
+            "contended": contended,
+        },
     }
+    for k in ("baseline_sec", "ab_ratio", "ab_ratio_paired_median",
+              "ab_pairs", "ab_baseline"):
+        if k in head:
+            result[k] = head[k]
     ray.shutdown()
     return result
 
@@ -182,6 +270,10 @@ def bench_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1",
                    GRAFT_SF_DIR=sf_dir, PYTHONPATH=REPO, OMP_NUM_THREADS="1",
+                   # scaling compares the SAME pipeline at two parallelism
+                   # levels — the efficiency is already a same-host ratio, so
+                   # the A/B interleave would only double the runtime
+                   GRAFT_NO_AB="1",
                    GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "3"))
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
