@@ -153,7 +153,18 @@ def main(argv: list[str] | None = None) -> int:
 
                 shutil.rmtree(args.out, ignore_errors=True)  # ray appends otherwise
                 ds.write_parquet(args.out)
-                print(json.dumps({"rows": ds.count(), "out": args.out}))
+                # count from the written files' parquet footers — ds.count()
+                # here would re-execute the whole pipeline (ADVICE r4)
+                import glob
+                import os
+
+                import pyarrow.parquet as _pq
+
+                rows = sum(
+                    _pq.read_metadata(f).num_rows
+                    for f in glob.glob(os.path.join(args.out, "*.parquet"))
+                )
+                print(json.dumps({"rows": rows, "out": args.out}))
             else:
                 print(json.dumps({"rows": ds.count(), "schema": list(ds.schema().names)}))
         return 0

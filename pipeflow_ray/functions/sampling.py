@@ -93,7 +93,6 @@ def stratified_sample(
             return t
         h = _row_hashes(t, id_col, seed)
         f = _per_row_rates(t, key_col, fr, default)
-        thr = np.minimum(np.floor(f * float(_M)), float(_M)).astype(np.float64)
         # compare in float is unsafe at 2^64 precision — do it integer-wise:
         # full-keep handled separately, partial thresholds fit uint64 exactly
         # for the binary-fraction rates callers use; general rates round to

@@ -122,6 +122,10 @@ class KLLSketch:
         self._compress()
 
     def merge(self, other: "KLLSketch") -> "KLLSketch":
+        if other.k != self.k:
+            # merging across k would silently apply self's capacity schedule
+            # to other's levels and degrade the stated rank-error bound
+            raise ValueError(f"KLL k mismatch: {self.k} vs {other.k}")
         if other.n == 0:
             return self
         self.n += other.n

@@ -800,6 +800,21 @@ def role_sequence_transcripts(sf_dir):
 
 
 @q(
+    "tool_sequence_transcripts",
+    f"""SELECT conv_id, string_agg(tool, ',' ORDER BY turn_idx) AS tools
+        FROM read_parquet('{_TP001}') GROUP BY conv_id""",
+)
+def tool_sequence_transcripts(sf_dir):
+    """string_agg over a NULLABLE column: tool is null on non-tool turns, so
+    conversations with no tool calls are ALL-NULL groups — SQL emits them
+    with a NULL aggregate, and so does group_concat (round-4 VERDICT #5)."""
+    from pipeflow_ray.stages.dedup import group_concat
+
+    ds = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id", "turn_idx", "tool"])
+    return group_concat(ds, ["conv_id"], "tool", "turn_idx", sep=",", out="tools")
+
+
+@q(
     "role_pivot_transcripts",
     f"""SELECT conv_id,
                CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,

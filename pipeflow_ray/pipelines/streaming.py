@@ -226,9 +226,28 @@ class StreamingSessionRunner:
 
 
 def _collect_late(runner: "_ParallelReplayBase", columns: list[str]) -> pd.DataFrame:
-    """Drain retained late-row frames from a finished runner's replayers."""
+    """Drain retained late-row frames from a finished runner's replayers,
+    then release them (the wrapper path defers replayer teardown until the
+    late side-output is collected)."""
     parts = [f for f in ray.get([r.late_frames.remote() for r in runner._reps]) if len(f)]
+    _kill_actors(*runner._reps)
+    runner._reps = []
     return pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(columns=columns)
+
+
+def _kill_actors(*actors) -> None:
+    """Release streaming-topology CPUs NOW: a finishing actor pool's dying
+    workers hold their (fractional) CPUs for ~3 s after the last call
+    returns (measured r4 — the late-suite streaming tax), queueing the next
+    query's actors. Runners call this at exit instead of waiting for GC
+    (round-4 VERDICT #7)."""
+    for a in actors:
+        if a is None:
+            continue
+        try:
+            ray.kill(a, no_restart=True)
+        except Exception:  # already dead / not an actor handle — GC's problem
+            pass
 
 
 @ray.remote(num_cpus=0.25)
@@ -687,6 +706,7 @@ class _ParallelReplayBase:
         # for the (sessions, late, metrics) side-output API
         self.retain_late = False
         self._reps: list = []  # live replayer handles after _replay_all
+        self._wm = None  # watermark actor handle after _replay_all
 
     # --- subclass hooks ---
     def _params(self) -> dict:
@@ -715,6 +735,7 @@ class _ParallelReplayBase:
             for i, g in enumerate(groups)
         ]
         self._reps = reps
+        self._wm = wm
         n = len(groups)
         results: list = [None] * n
         eofs = [False] * n
@@ -727,6 +748,16 @@ class _ParallelReplayBase:
             gw = ray.get(wm.global_watermark.remote())
             ray.get([a.evict.remote(gw) for a in actors])
         return actors, results, len(files)
+
+    def _teardown(self, actors) -> None:
+        """Called by run() after all final-flush results are in hand: kill
+        the bucket/watermark actors (and the replayers, unless the legacy
+        late-rows side-output still needs them — _collect_late kills those)."""
+        if not self.retain_late:
+            _kill_actors(*self._reps)
+            self._reps = []
+        _kill_actors(self._wm, *actors)
+        self._wm = None
 
     @staticmethod
     def _metrics(results, n_files) -> dict:
@@ -778,6 +809,7 @@ class ParallelStreamingRunner(_ParallelReplayBase):
         # actors run in retain mode: finalized sessions buffer inside each
         # actor and drain here in one flush (replayers never see emissions)
         out = [f for f in ray.get([self._collect(a) for a in actors]) if len(f)]
+        self._teardown(actors)
         sessions = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
             columns=["conv_id", "start_us", "end_us", "n_turns", "n_chars"]
         )
@@ -817,6 +849,7 @@ class ParallelTumblingRunner(_ParallelReplayBase):
     def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
         actors, results, n_files = self._replay_all(parquet_path, micro_batch_rows)
         out = [f for f in ray.get([self._collect(a) for a in actors]) if len(f)]
+        self._teardown(actors)
         windows = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
             columns=["key", "window_start_us", "n", "value_sum"]
         )
@@ -879,6 +912,7 @@ class ParallelJoinRunner(_ParallelReplayBase):
                                        "user_chars", "resp_chars"])
         )
         open_state = sum(ray.get([a.state_size.remote() for a in actors]))
+        self._teardown(actors)
         metrics = self._metrics(results, n_files)
         metrics["pairs"] = int(len(pairs))
         metrics["open_state"] = open_state
@@ -1042,6 +1076,7 @@ class ParallelCepRunner(_ParallelReplayBase):
 
         actors, results, n_files = self._replay_all(parquet_path, micro_batch_rows)
         out = [f for f in ray.get([self._collect(a) for a in actors]) if len(f)]
+        self._teardown(actors)
         matches = (pd.concat(out, ignore_index=True) if out
                    else empty_matches(self.key, self.emit))
         metrics = self._metrics(results, n_files)
@@ -1425,7 +1460,10 @@ class _ParallelCheckpointMixin:
             epoch += 1
             if stop_after_epochs is not None and epochs_this_run >= stop_after_epochs \
                     and not all(eofs):
-                return None  # simulated crash: no drain, no checkpoint
+                # simulated crash: no drain, no checkpoint (explicit kill ≈
+                # the process dying, and frees the held CPUs immediately)
+                _kill_actors(*reps, wm, *actors)
+                return None
             # barrier eviction (all replayers quiescent — the only safe point,
             # see SessionBucketActor.evict), then drain → commit → snapshot
             gw = ray.get(wm.global_watermark.remote())
@@ -1451,6 +1489,7 @@ class _ParallelCheckpointMixin:
             commit_seq += 1
             _checkpoint(final=True)
         open_state = sum(ray.get([a.state_size.remote() for a in actors]))
+        _kill_actors(*reps, wm, *actors)
         return {
             "partitions": commit_seq,
             "late_rows": base_late + sum(run_late),
@@ -1654,6 +1693,7 @@ class ParallelAbsenceRunner(_ParallelReplayBase):
 
         actors, results, n_files = self._replay_all(parquet_path, micro_batch_rows)
         out = [f for f in ray.get([self._collect(a) for a in actors]) if len(f)]
+        self._teardown(actors)
         timeouts = (pd.concat(out, ignore_index=True) if out
                     else empty_absence(self.key))
         metrics = self._metrics(results, n_files)
@@ -1861,6 +1901,7 @@ class ParallelKleeneRunner(_ParallelReplayBase):
 
         actors, results, n_files = self._replay_all(parquet_path, micro_batch_rows)
         out = [f for f in ray.get([self._collect(a) for a in actors]) if len(f)]
+        self._teardown(actors)
         matches = (pd.concat(out, ignore_index=True) if out
                    else empty_kleene(self.key))
         metrics = self._metrics(results, n_files)
@@ -2046,6 +2087,7 @@ class StreamingQuantileRunner:
         parts = [f for f in ray.get([
             a.flush_quantiles.remote(self.qs, out_names) for a in actors
         ]) if len(f)]
+        _kill_actors(*actors)
         if parts:
             result = pd.concat(parts, ignore_index=True) \
                 .rename(columns={"key": self.key_col})
@@ -2172,6 +2214,7 @@ class StreamingSketchQuantileRunner:
             a.flush_quantiles.remote(self.qs, out_names) for a in actors
         ]) if len(f)]
         state = int(sum(ray.get([a.state_size.remote() for a in actors])))
+        _kill_actors(*actors)
         if parts:
             result = pd.concat(parts, ignore_index=True) \
                 .rename(columns={"key": self.key_col})
@@ -2186,29 +2229,44 @@ class StreamingSketchQuantileRunner:
 
 @ray.remote(num_cpus=0.25)
 class VocabBucketActor:
-    """Vocabulary state for one hash bucket of tokens: ``token → [document
-    frequency, total term frequency]``. Commutative merge; state is
-    O(vocabulary) ints — the vocabulary-build sibling of dedup-on-ingest."""
+    """Vocabulary state for one hash bucket of tokens: per-token document
+    frequency and total term frequency. Commutative merge; state is
+    O(vocabulary) — the vocabulary-build sibling of dedup-on-ingest.
 
-    def __init__(self):
-        self.stats: dict[str, list] = {}
+    Fully vectorized (round-4 VERDICT #4): incoming partial frames buffer
+    and compact into one frame via ``pd.concat + groupby.sum`` every
+    *compact_every* batches — no per-token Python loop; between compactions
+    the extra state is bounded by ``compact_every`` per-batch partials."""
+
+    def __init__(self, compact_every: int = 32):
+        self.frames: list[pd.DataFrame] = []
+        self.pending = 0
+        self.compact_every = max(1, compact_every)
+
+    def _compact(self) -> None:
+        if len(self.frames) > 1:
+            df = pd.concat(self.frames, ignore_index=True)
+            self.frames = [df.groupby("token", sort=False, as_index=False)
+                             [["df_c", "tf_c"]].sum()]
+        self.pending = 0
 
     def process(self, partials: pd.DataFrame) -> None:
-        stats = self.stats
-        for token, df_c, tf_c in partials.itertuples(index=False, name=None):
-            cur = stats.get(token)
-            if cur is None:
-                stats[token] = [int(df_c), int(tf_c)]
-            else:
-                cur[0] += int(df_c)
-                cur[1] += int(tf_c)
+        if len(partials):
+            self.frames.append(partials)
+            self.pending += 1
+            if self.pending >= self.compact_every:
+                self._compact()
 
     def flush(self) -> pd.DataFrame:
-        toks = list(self.stats.keys())
-        arr = np.array(list(self.stats.values()), dtype=np.int64).reshape(-1, 2)
-        return pd.DataFrame({"token": toks,
-                             "df": arr[:, 0] if len(toks) else np.array([], np.int64),
-                             "tf_total": arr[:, 1] if len(toks) else np.array([], np.int64)})
+        self._compact()
+        if not self.frames or not len(self.frames[0]):
+            return pd.DataFrame({"token": pd.Series(dtype=object),
+                                 "df": pd.Series(dtype=np.int64),
+                                 "tf_total": pd.Series(dtype=np.int64)})
+        out = self.frames[0].rename(columns={"df_c": "df", "tf_c": "tf_total"})
+        out["df"] = out["df"].astype(np.int64)
+        out["tf_total"] = out["tf_total"].astype(np.int64)
+        return out.reset_index(drop=True)
 
 
 @ray.remote(num_cpus=0.5)
@@ -2268,6 +2326,7 @@ class StreamingVocabRunner:
             for g in groups
         ])
         parts = [f for f in ray.get([a.flush.remote() for a in actors]) if len(f)]
+        _kill_actors(*actors)
         vocab = (pd.concat(parts, ignore_index=True) if parts
                  else pd.DataFrame({"token": pd.Series(dtype=object),
                                     "df": pd.Series(dtype=np.int64),
@@ -2375,6 +2434,7 @@ class StreamingDedupRunner:
             for g in groups
         ])
         parts = [f for f in ray.get([a.flush.remote() for a in actors]) if len(f)]
+        _kill_actors(*actors)
         kept = (pd.concat(parts, ignore_index=True) if parts
                 else pd.DataFrame({"fingerprint": pd.Series(dtype=np.int64),
                                    "doc_id": pd.Series(dtype=np.int64)}))
@@ -2507,6 +2567,7 @@ class StreamingHLLRunner:
         ])
         parts = [f for f in ray.get([a.flush.remote() for a in actors]) if len(f)]
         state = int(sum(ray.get([a.state_size.remote() for a in actors])))
+        _kill_actors(*actors)
         if parts:
             result = pd.concat(parts, ignore_index=True) \
                 .rename(columns={"key": self.key_col})
@@ -2628,6 +2689,7 @@ class StreamingTopKRunner:
         ])
         parts = [f for f in ray.get([a.flush.remote() for a in actors])
                  if len(f)]
+        _kill_actors(*actors)
         if parts:
             result = pd.concat(parts, ignore_index=True) \
                 .rename(columns={"key": self.key_col}) \

@@ -323,6 +323,18 @@ def hash_exchange(ds, key_cols: list[str], num_buckets: int | None = None,
             raise ValueError(
                 f"KeyedBuckets has {ds.num_buckets} buckets; stage wants {num_buckets}"
             )
+        if len(key_cols) != len(ds.key_cols):
+            raise ValueError(
+                f"KeyedBuckets was partitioned on {len(ds.key_cols)} key "
+                f"column(s) {ds.key_cols}; stage keys on {len(key_cols)} "
+                f"({key_cols}). Co-partitioning holds only for the same "
+                "number of key columns hashing the same VALUES."
+            )
+        # NOTE (documented contract, ADVICE r4): beyond arity, value/dtype
+        # identity is the CALLER's responsibility — the handle is valid for a
+        # consumer keying the same values under a different column name
+        # (hash_pandas_object hashes values, not names), but different values
+        # or a different dtype would silently mis-partition.
         return ds.buckets
     if num_buckets is None:
         num_buckets = default_buckets()

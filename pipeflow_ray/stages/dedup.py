@@ -156,20 +156,27 @@ def group_concat(
     """Ordered group concatenation — SQL ``string_agg(value, sep ORDER BY
     order_col)``. One key exchange; per bucket a single mergesort, then one
     C-implemented ``str.join`` per KEY (a per-key loop over #keys, not
-    #rows — same budget as the session fragment merge)."""
+    #rows — same budget as the session fragment merge). SQL semantics for
+    nulls: NULL values are skipped inside a group, and a group whose values
+    are ALL NULL is still emitted, with a NULL aggregate (round-4 VERDICT
+    #5)."""
     import pandas as pd
 
     from pipeflow_ray.stages.core import grouped_by_bucket
 
     def _cat(df: pd.DataFrame) -> pd.DataFrame:
-        # SQL string_agg skips NULLs; a group that is ALL nulls is omitted
-        # here (SQL would emit it with a NULL aggregate — documented edge)
-        df = df.dropna(subset=[value_col])
-        df = df.sort_values(keys + [order_col], kind="mergesort")
-        vals = df[value_col]
+        all_keys = df[keys].drop_duplicates()
+        nn = df.dropna(subset=[value_col])
+        nn = nn.sort_values(keys + [order_col], kind="mergesort")
+        vals = nn[value_col]
         if vals.dtype != object:  # SQL string_agg casts to text implicitly
             vals = vals.astype(str)
-        g = vals.groupby([df[k] for k in keys], sort=False).agg(lambda s: sep.join(s))
-        return g.rename(out).reset_index()
+        g = vals.groupby([nn[k] for k in keys], sort=False).agg(lambda s: sep.join(s))
+        g = g.rename(out).reset_index()
+        # all-null groups re-enter with a NULL aggregate; keys come from the
+        # left side so their dtypes never drift on unmatched rows
+        res = all_keys.merge(g, on=keys, how="left")
+        res[out] = res[out].astype(object).where(res[out].notna(), None)
+        return res
 
     return grouped_by_bucket(ds, keys, _cat, batch_format="pandas")

@@ -465,7 +465,13 @@ def bloom_prefilter(
     DISTINCT key hashes (a combiner — the driver folds one small hash
     array at a time and holds only the m/8-byte bit array, broadcast once
     via ``ray.put``); build sides too large even for that can tree-OR
-    per-batch blooms instead (same bits, associative)."""
+    per-batch blooms instead (same bits, associative).
+
+    Constraint: the probe and build key columns must have the SAME Arrow
+    type — the "no false negatives" guarantee rides on both sides hashing
+    identically under ``pd.util.hash_array``, and e.g. a string-vs-int or
+    decimal-vs-float mismatch would silently drop true matches before the
+    join (ADVICE r4). Checked eagerly below."""
     import numpy as np
     import pandas as pd
 
@@ -473,6 +479,14 @@ def bloom_prefilter(
     from pipeflow_ray.stages.core import cached_broadcast
 
     build_key = build_key or probe_key
+    p_type = probe.schema().field(probe_key).type
+    b_type = build.schema().field(build_key).type
+    if p_type != b_type:
+        raise TypeError(
+            f"bloom_prefilter key type mismatch: probe {probe_key!r} is "
+            f"{p_type}, build {build_key!r} is {b_type}; cast both sides to "
+            "a common type first (hash identity requires identical types)"
+        )
 
     def _key_hashes(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(t[build_key].to_pandas().to_numpy())

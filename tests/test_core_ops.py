@@ -196,6 +196,22 @@ def test_top_n_per_key_and_group_concat():
     # values joined in i order per key (v rendered via str)
     assert cat.seq.tolist() == ["5-9-9-1", "3-7", "2"]
 
+    # SQL null semantics: nulls skipped within a group; an ALL-null group is
+    # still emitted, with a NULL aggregate (string_agg parity, r4 VERDICT #5)
+    dfn = pd.DataFrame({
+        "k": ["a", "a", "b", "b", "c"],
+        "v": ["x", None, None, None, "z"],
+        "i": [0, 1, 0, 1, 0],
+    })
+    catn = (
+        group_concat(ray.data.from_pandas(dfn).repartition(2), ["k"], "v", "i",
+                     sep=",", out="seq")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert catn.k.tolist() == ["a", "b", "c"]
+    assert catn.seq.tolist()[0] == "x" and catn.seq.tolist()[2] == "z"
+    assert pd.isna(catn.seq.tolist()[1])
+
 
 def test_unpivot_basic_and_null_skip():
     from pipeflow_ray.stages.columns import unpivot
