@@ -1407,6 +1407,22 @@ def streaming_topk_convs(sf_dir):
                          "n": top.n.astype("int64")}).reset_index(drop=True)
 
 
+# >32-step library entry (round-4 VERDICT #6): a 34-step strict alternation
+# user,(assistant|tool),user,… — its oracle is a generated 33-fold lead()
+# chain over the same window
+_K_LONG = 34
+_LONG_LEADS = ",\n             ".join(
+    f"lead(role, {j}) OVER w AS lr{j}" for j in range(1, _K_LONG)
+) + f""",
+             lead(turn_idx, {_K_LONG - 1}) OVER w AS lti,
+             lead(epoch_us(ts), {_K_LONG - 1}) OVER w AS lts"""
+_LONG_CONDS = " AND ".join(
+    [f"role = 'user'"] + [
+        (f"lr{j} = 'user'" if j % 2 == 0 else f"lr{j} IN ('assistant', 'tool')")
+        for j in range(1, _K_LONG)
+    ] + [f"lti = turn_idx + {_K_LONG - 1}"]
+)
+
 _CEP_MULTI_SQL = f"""WITH s AS (
       SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS ts_us,
              lead(role, 1) OVER w AS role1, lead(role, 2) OVER w AS role2,
@@ -1444,7 +1460,16 @@ _CEP_MULTI_SQL = f"""WITH s AS (
     JOIN r2 p ON p.conv_id = truns.conv_id AND p.turn_idx = truns.r0 - 1
              AND p.role = 'user'
     JOIN r2 e ON e.conv_id = truns.conv_id AND e.turn_idx = truns.r1
-    WHERE e.ts_us - p.ts_us BETWEEN 0 AND 1800000000"""
+    WHERE e.ts_us - p.ts_us BETWEEN 0 AND 1800000000
+    UNION ALL
+    SELECT conv_id, 'long_alt', CAST(turn_idx AS BIGINT), CAST(lti AS BIGINT),
+           CAST(ts_us AS BIGINT), CAST(lts AS BIGINT), CAST(0 AS BIGINT), NULL
+    FROM (
+      SELECT conv_id, turn_idx, role, epoch_us(ts) AS ts_us,
+             {_LONG_LEADS}
+      FROM read_parquet('{_TP001}')
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    ) WHERE {_LONG_CONDS}"""
 
 
 @q("cep_multi_turns", _CEP_MULTI_SQL)
@@ -1463,6 +1488,11 @@ def cep_multi_turns(sf_dir):
                 "within_us": 300_000_000},
         "ut_burst": {"steps": [{"role": "user"}, ("+", {"role": "tool"})],
                      "within_us": 1_800_000_000},
+        # 34 steps > one 32-bit word: exercises the dedicated word-run path
+        "long_alt": {"steps": [
+            {"role": "user"} if j % 2 == 0 else {"role": ["assistant", "tool"]}
+            for j in range(_K_LONG)
+        ]},
     }
     cols = sorted({c for p in pats.values() for c in
                    pattern_columns(p["steps"], p.get("emit", ()))})

