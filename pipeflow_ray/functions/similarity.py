@@ -30,6 +30,26 @@ def _to_matrix(col) -> np.ndarray:
     return np.stack(col.to_pylist()).astype(np.float64)
 
 
+def _list_matrix(col) -> np.ndarray:
+    """(n, d) float64 from a non-null fixed-width ``list<float>`` column via
+    the flattened value buffer — no per-row Python objects. Also accepts
+    Ray's ArrowTensorArray extension chunks (what ``from_pandas`` produces
+    for ndarray cells)."""
+    chunks = col.chunks if hasattr(col, "chunks") else [col]
+    parts = []
+    for ch in chunks:
+        if not len(ch):
+            continue
+        if hasattr(ch, "flatten"):  # plain list<float>
+            flat = ch.flatten().to_numpy(zero_copy_only=False)
+            parts.append(flat.reshape(len(ch), -1))
+        else:  # tensor extension array: to_numpy is already (n, d)
+            parts.append(np.asarray(ch.to_numpy(zero_copy_only=False)))
+    if not parts:
+        return np.empty((0, 0), np.float64)
+    return np.concatenate(parts).astype(np.float64, copy=False)
+
+
 @_functools.lru_cache(maxsize=8)
 def _cached_broadcast(ref: ray.ObjectRef):
     """One plasma fetch per worker process per broadcast object (refs are
@@ -188,3 +208,167 @@ def ivf_topk(
         batch_format="pyarrow",
     )
     return _merge_partial_topk(partials, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Distributed large-Q ANN: the query side is a DATASET routed to IVF cells
+# (round-4 VERDICT #3). brute_force_topk/ivf_topk broadcast the query matrix
+# and merge ≤ Q×k rows on the driver — right for interactive Q, wrong when
+# the queries ARE the corpus (all-corpus neighbor search at 100 TB). Here
+# both sides flow through the engine's hash exchange keyed on the cell id
+# (co-partitioned by construction: same int64 values, same bucket count),
+# each bucket task matmuls its cells, and the per-query merge is a second
+# keyed exchange — the driver only ever sees final rows.
+# ---------------------------------------------------------------------------
+
+
+def _corpus_cell_prep(t: pa.Table, *, cref, vec_col: str, id_col: str) -> pa.Table:
+    """Assign each corpus vector to its nearest centroid; ship (cell, id,
+    RAW float32 vector) — normalization happens in float64 inside the cell
+    kernel, so the exchange stays at input width with no precision loss."""
+    if not t.num_rows:
+        return pa.table({"__cell": pa.array([], pa.int64()),
+                         "__id": t[id_col], "__vec": t[vec_col]})
+    cent = _cached_broadcast(cref)
+    v = _list_matrix(t[vec_col])
+    # argmin_c |v-c|^2 = argmin_c (|c|^2 - 2 v·c); |v|^2 is constant per row
+    cell = (-2.0 * (v @ cent.T) + (cent * cent).sum(1)).argmin(1)
+    return pa.table({
+        "__cell": pa.array(cell.astype(np.int64)),
+        "__id": t[id_col],
+        "__vec": t[vec_col],
+    })
+
+
+def _query_cell_prep(t: pa.Table, *, cref, nprobe: int, vec_col: str,
+                     id_col: str) -> pa.Table:
+    """Replicate each query row to its *nprobe* nearest cells."""
+    if not t.num_rows:
+        return pa.table({"__cell": pa.array([], pa.int64()),
+                         "__qid": t[id_col], "__qvec": t[vec_col]})
+    cent = _cached_broadcast(cref)
+    q = _list_matrix(t[vec_col])
+    d = -2.0 * (q @ cent.T) + (cent * cent).sum(1)
+    npb = min(nprobe, d.shape[1])
+    probed = np.argpartition(d, npb - 1, axis=1)[:, :npb]  # (Q, npb)
+    idx = np.repeat(np.arange(len(q)), npb)
+    return pa.table({
+        "__cell": pa.array(probed.ravel().astype(np.int64)),
+        "__qid": t[id_col].take(pa.array(idx)),
+        "__qvec": t[vec_col].take(pa.array(idx)),
+    })
+
+
+@ray.remote
+def _cell_topk_task(k: int, exclude_self: bool, n_corpus: int, *slices):
+    """One bucket: matmul every cell's queries against its corpus vectors,
+    emit each query's LOCAL top-k (≤ probes(bucket) × k rows)."""
+    corpus = [t for t in slices[:n_corpus] if t.num_rows]
+    queries = [t for t in slices[n_corpus:] if t.num_rows]
+    if not corpus or not queries:
+        return None
+    ct = pa.concat_tables(corpus, promote_options="default")
+    qt = pa.concat_tables(queries, promote_options="default")
+    c_cell = ct["__cell"].to_numpy(zero_copy_only=False)
+    q_cell = qt["__cell"].to_numpy(zero_copy_only=False)
+    V = _list_matrix(ct["__vec"])
+    V /= np.linalg.norm(V, axis=1, keepdims=True).clip(min=1e-12)
+    Q = _list_matrix(qt["__qvec"])
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True).clip(min=1e-12)
+    ids = ct["__id"].to_numpy(zero_copy_only=False)
+    qids = qt["__qid"].to_numpy(zero_copy_only=False)
+    out_q, out_i, out_s = [], [], []
+    for cell in np.intersect1d(np.unique(c_cell), np.unique(q_cell)):
+        cm = c_cell == cell
+        qm = q_cell == cell
+        sims = Q[qm] @ V[cm].T  # (q_cell, v_cell)
+        vid = ids[cm]
+        qid = qids[qm]
+        if exclude_self:
+            sims = np.where(qid[:, None] == vid[None, :], -np.inf, sims)
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_q.append(np.repeat(qid, kk))
+        out_i.append(vid[top.ravel()])
+        out_s.append(np.take_along_axis(sims, top, axis=1).ravel())
+    if not out_q:
+        return None
+    q_all = np.concatenate(out_q)
+    i_all = np.concatenate(out_i)
+    s_all = np.concatenate(out_s)
+    keep = np.isfinite(s_all)  # drop masked self rows from thin cells
+    return pa.table({
+        "query_id": pa.array(q_all[keep]),
+        "__id": pa.array(i_all[keep]),
+        "cosine": pa.array(s_all[keep], pa.float64()),
+    })
+
+
+def corpus_topk(
+    corpus: ray.data.Dataset,
+    queries: ray.data.Dataset,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str | None = None,
+    query_id_col: str | None = None,
+    exclude_self: bool = False,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Dataset-vs-Dataset ANN top-k: every row of *queries* searches the
+    *nprobe* nearest IVF cells of *corpus*; exact when
+    ``nprobe == n_clusters`` (every cell probed — the oracle configuration,
+    like :func:`ivf_topk`). ``exclude_self`` drops candidates whose id
+    equals the query id (corpus-vs-itself neighbor search).
+
+    Output: ``(query_id, <id_col>, cosine, rank)``, rank 1..k per query,
+    ties broken by id ascending. Both sides exchange on ``hash(cell)`` with
+    the same bucket count, so they co-partition; the per-query merge is a
+    second keyed exchange over ≤ Q × nprobe × k partial rows. The driver
+    holds only centroids (trained on a bounded sample) — never vectors or
+    results."""
+    import ray.data as _rd
+
+    from pipeflow_ray.stages.core import grouped_by_bucket, hash_exchange
+
+    query_vec_col = query_vec_col or vec_col
+    query_id_col = query_id_col or id_col
+    cent = train_centroids(corpus, n_clusters, vec_col)
+    cref = ray.put(cent)
+    nb = num_buckets or min(len(cent), 64)
+
+    c_prep = corpus.map_batches(
+        _corpus_cell_prep, fn_kwargs=dict(cref=cref, vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow")
+    q_prep = queries.map_batches(
+        _query_cell_prep, fn_kwargs=dict(cref=cref, nprobe=nprobe,
+                                         vec_col=query_vec_col, id_col=query_id_col),
+        batch_format="pyarrow")
+    c_buckets = hash_exchange(c_prep, ["__cell"], nb)
+    q_buckets = hash_exchange(q_prep, ["__cell"], nb)
+    parts = []
+    for cb, qb in zip(c_buckets, q_buckets):
+        if not cb or not qb:
+            continue
+        parts.append(_cell_topk_task.remote(k, exclude_self, len(cb), *cb, *qb))
+    parts = [p for p, n in zip(parts, ray.get(
+        [_nrows.remote(p) for p in parts])) if n]
+    if not parts:
+        return _rd.from_items([])
+    partials = _rd.from_arrow_refs(parts)
+
+    def _final(df):
+        df = df.sort_values(["query_id", "cosine", "__id"],
+                            ascending=[True, False, True], kind="mergesort")
+        out = df.groupby("query_id", sort=False).head(k).copy()
+        out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+        return out.rename(columns={"__id": id_col})
+
+    return grouped_by_bucket(partials, ["query_id"], _final, batch_format="pandas")
+
+
+@ray.remote
+def _nrows(t) -> int:
+    return 0 if t is None else t.num_rows

@@ -2498,6 +2498,45 @@ def ivf_topk_query(sf_dir):
 
 
 @q(
+    "ann_corpus_topk",
+    """WITH s AS (SELECT a.vec_id AS query_id, b.vec_id,
+                       list_cosine_similarity(a.embedding, b.embedding) AS c
+                FROM embeddings a CROSS JOIN embeddings b
+                WHERE a.vec_id <> b.vec_id),
+           r AS (SELECT query_id, vec_id,
+                        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+                 FROM s)
+        SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""",
+)
+def ann_corpus_topk(sf_dir):
+    """Large-Q ANN: EVERY corpus vector queries the corpus (round-4 VERDICT
+    #3 — functions/similarity.corpus_topk). The query side is a Dataset
+    routed to IVF cells through the hash exchange (co-partitioned with the
+    corpus side), per-cell matmul top-k in bucket tasks, per-query merge in
+    a second keyed exchange — the driver never holds vectors or results.
+    Exact here because ``nprobe == n_clusters`` (every cell probed);
+    tests/test_functions.py keeps the recall assertion at nprobe < n."""
+    from pipeflow_ray.functions.similarity import corpus_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    qs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    got = corpus_topk(ds, qs, k=5, n_clusters=16, nprobe=16, exclude_self=True)
+
+    def _fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "vec_id": t["vec_id"],
+                "rk": t["rank"].cast(pa.int64()),
+            }
+        )
+
+    return got.map_batches(_fmt, batch_format="pyarrow")
+
+
+@q(
     "multimodal_decode",
     """SELECT image_id, width, height, mean_milli
        FROM read_parquet('/tmp/pipeflow_fixtures/image_golden_n200_s42.parquet')""",

@@ -142,6 +142,48 @@ def test_ivf_topk_recall():
     assert np.mean(recalls) >= 0.5  # IVF tradeoff, sanity bound
 
 
+def test_corpus_topk_exact_and_recall():
+    """Dataset-vs-Dataset ANN (corpus_topk): at nprobe == n_clusters it must
+    EQUAL brute force per query (co-partitioned exchange correctness); at
+    nprobe < n it keeps IVF-grade recall."""
+    from pipeflow_ray.functions.similarity import corpus_topk
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    corpus = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+    # query side: a distinct id/vec column naming to exercise the remap
+    qdf = emb.iloc[5:25][["vec_id", "embedding"]].rename(
+        columns={"vec_id": "qid", "embedding": "qe"})
+    queries = ray.data.from_pandas(qdf.reset_index(drop=True))
+
+    got = corpus_topk(corpus, queries, k=8, n_clusters=8, nprobe=8,
+                      vec_col="embedding", id_col="vec_id",
+                      query_vec_col="qe", query_id_col="qid").to_pandas()
+    exact = brute_force_topk(corpus, mat[5:25], k=8).to_pandas()
+    # brute_force query_id is positional; remap to vec ids
+    exact["query_id"] = emb.vec_id.to_numpy()[5:25][exact.query_id.to_numpy()]
+    g = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    e = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(g.query_id) == list(e.query_id)
+    assert list(g.vec_id) == list(e.vec_id)
+    assert np.allclose(g.cosine, e.cosine)
+
+    approx = corpus_topk(corpus, queries, k=8, n_clusters=8, nprobe=3,
+                         query_vec_col="qe", query_id_col="qid").to_pandas()
+    recalls = []
+    for qid, grp in e.groupby("query_id"):
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(set(grp.vec_id) & a) / len(grp))
+    assert np.mean(recalls) >= 0.5
+
+    # exclude_self drops the trivial self neighbor
+    selfq = corpus_topk(corpus, queries, k=3, n_clusters=8, nprobe=8,
+                        query_vec_col="qe", query_id_col="qid",
+                        exclude_self=True).to_pandas()
+    assert (selfq.query_id != selfq.vec_id).all()
+
+
 def test_multimodal_decode_pipeline():
     t = synth_image_table(100)
     out = decode_images(ray.data.from_arrow(t), batch_size=16).to_pandas()
