@@ -1630,16 +1630,19 @@ def cep_kleene_open_turns(sf_dir):
 
 @q("streaming_cep_kleene_open", _CEP_KLEENE_OPEN_SQL)
 def streaming_cep_kleene_open(sf_dir):
-    """STREAMING suffix-free Kleene (round-3 VERDICT #7): with no closing
-    step inside the span, maximal runs seal by WATERMARK TIMEOUT — emitted
-    exactly-once when the global min-watermark passes ``run_end + seal_gap``
-    (4h here, above the fixture's largest intra-conversation turn gap, so
-    the result equals the batch scan — the shared oracle)."""
+    """STREAMING suffix-free Kleene with run STITCHING (round-4 VERDICT
+    #8): with no closing step inside the span, maximal runs seal on
+    OBSERVED EVIDENCE (the successor turn arrives non-B, or a sealed
+    turn-index jump proves it never will); undecided open runs compact to
+    O(1)-per-key summaries that a post-gap extension merges with. Exact
+    batch parity under ANY intra-run event-time gap — no seal-gap
+    contract needed (the old watermark-timeout mode remains available via
+    ``seal_gap_s``)."""
     from pipeflow_ray.pipelines.streaming import ParallelKleeneRunner
 
     runner = ParallelKleeneRunner(
         _KLEENE_OPEN_STEPS, within_us=1_800_000_000, lateness_s=3 * 3600.0,
-        num_buckets=8, seal_gap_s=4 * 3600.0,
+        num_buckets=8, stitch=True,
         derive=_derive_nc, read_columns=["conv_id", "turn_idx", "text", "ts"],
     )
     matches, _metrics = runner.run(_tp(sf_dir))

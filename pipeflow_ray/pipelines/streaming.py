@@ -1720,6 +1720,21 @@ class KleeneBucketActor:
     extension arriving past the gap diverges from batch by design,
     documented in COVERAGE.md).
 
+    STITCH mode (``stitch=True``, round-4 VERDICT #8) removes that one
+    divergence: suffix-free runs seal on OBSERVED EVIDENCE instead of a
+    timeout — a run is maximal once its successor turn is either observed
+    to be non-B (``turn_idx == end+1`` arrived, immediately decisive), or
+    provably absent (a SEALED row at ``turn_idx > end+1`` exists: per-key
+    event time is monotone in turn order, so once the watermark passes
+    that row's ts the missing turn can never arrive on time). Undecided
+    open runs are COMPACTED: their sealed rows collapse into an O(1)
+    per-key summary ``(pre_valid, start_ti, start_ts, end_ti, end_ts,
+    blen)`` — a post-gap extension chains onto ``end_ti + 1`` and merges
+    with the summary, so the emitted match equals batch under ANY
+    intra-run event-time gap, with bounded state. Emission additionally
+    waits for the run's start to seal (``ts[start] < wm``) so prefix-step
+    validity is final when judged. No ``seal_gap_us`` is needed.
+
     Prefix steps are optional (n_pre ≥ 0): start maximality only depends on
     rows at event times ≤ the run start, which are sealed-or-late once the
     emission rule fires.
@@ -1733,30 +1748,48 @@ class KleeneBucketActor:
 
     def __init__(self, n_pre: int, n_post: int, within_us: int | None,
                  key: str = "conv_id", order: str = "turn_idx",
-                 seal_gap_us: int | None = None):
+                 seal_gap_us: int | None = None, stitch: bool = False):
         if n_pre < 0 or n_post < 0:
             raise ValueError("negative step counts")
-        if n_post < 1 and seal_gap_us is None:
+        if stitch and n_post >= 1:
+            raise ValueError(
+                "stitch mode is for suffix-free patterns; a fixed suffix "
+                "already seals maximality exactly"
+            )
+        if n_post < 1 and seal_gap_us is None and not stitch:
             raise ValueError(
                 "suffix-free streaming Kleene needs seal_gap_us "
-                "(watermark-timeout sealing of maximal runs)"
+                "(watermark-timeout sealing of maximal runs) or stitch=True "
+                "(evidence-based sealing with run summaries)"
             )
         self.n_pre = n_pre
         self.n_post = n_post
         self.within_us = within_us
         self.seal_gap_us = seal_gap_us
+        self.stitch = stitch
         self.key = key
         self.order = order
         self.parts: list[pd.DataFrame] = []
         self.carry: pd.DataFrame | None = None
         self.prev_wm = -(1 << 62)
         self.buf: list[pd.DataFrame] = []
+        # stitch mode: per-key compacted open-run tail summaries
+        # key → (pre_valid, start_ti, start_ts, end_ti, end_ts, blen);
+        # start is PREFIX-INCLUSIVE (batch emits ti/ts of the first prefix
+        # row — see scan_kleene's i0)
+        self.summaries: dict = {}
 
     def process(self, df: pd.DataFrame, watermark_us: int) -> None:
         if len(df):
             self.parts.append(df)
 
-    def evict(self, watermark_us: int) -> None:
+    def evict(self, watermark_us: int, final: bool = False) -> None:
+        if self.stitch:
+            self._evict_stitch(watermark_us, final)
+        else:
+            self._evict_timeout(watermark_us)
+
+    def _evict_timeout(self, watermark_us: int) -> None:
         from pipeflow_ray.stages.cep import scan_kleene
 
         frames = self.parts
@@ -1805,26 +1838,197 @@ class KleeneBucketActor:
         self.carry = df[keep].reset_index(drop=True)
         self.prev_wm = max(self.prev_wm, watermark_us)
 
+    def _evict_stitch(self, watermark_us: int, final: bool) -> None:
+        """Evidence-sealed suffix-free scan with O(1)-per-key open-run
+        compaction (class docstring, STITCH mode). Emission is exactly-once
+        because a decided run's B rows (and an absorbed summary) leave the
+        state in the same evict that emits it — nothing re-derives."""
+        frames = self.parts
+        if self.carry is not None and len(self.carry):
+            frames = [self.carry, *frames]
+        self.parts = []
+        npre = self.n_pre
+        if not frames:
+            if final and self.summaries:
+                self._emit_summaries(list(self.summaries.items()))
+                self.summaries = {}
+            return
+        df = pd.concat(frames, ignore_index=True)
+        df = df.sort_values([self.key, self.order], kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        conv, uniq = pd.factorize(df[self.key], sort=False)
+        ti = df[self.order].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        bits = df["__bits"].to_numpy(np.uint32)
+        b = (bits & np.uint32(1 << npre)) != 0
+        sealed = np.ones(n, dtype=bool) if final else ts < watermark_us
+        chained = np.zeros(n, dtype=bool)
+        if n > 1:
+            chained[:-1] = (conv[1:] == conv[:-1]) & (ti[1:] == ti[:-1] + 1)
+        prev_b_chain = np.zeros(n, dtype=bool)
+        prev_b_chain[1:] = b[:-1] & chained[:-1]
+        next_b_chain = np.zeros(n, dtype=bool)
+        next_b_chain[:-1] = b[1:] & chained[:-1]
+        rs = np.nonzero(b & ~prev_b_chain)[0]
+        re_ = np.nonzero(b & ~next_b_chain)[0]
+        nr = len(rs)
+        rkey = conv[rs] if nr else np.empty(0, np.int64)
+        # prefix validity + the prefix-INCLUSIVE start (batch parity: the
+        # emitted start row is i0 = run start − n_pre)
+        i0 = rs - npre
+        i0c = np.clip(i0, 0, max(n - 1, 0))
+        pre_ok = i0 >= 0
+        if nr:
+            pre_ok &= conv[i0c] == rkey
+            pre_ok &= (ti[rs] - ti[i0c]) == (rs - i0c)
+            for j in range(npre):
+                pre_ok &= (bits[np.clip(i0 + j, 0, n - 1)] & np.uint32(1 << j)) != 0
+        eff_sti = ti[i0c].copy()
+        eff_sts = ts[i0c].copy()
+        eff_blen = (re_ - rs + 1).astype(np.int64)
+        merged = np.zeros(nr, dtype=bool)
+        merged_S: dict = {}  # run idx → the absorbed summary (for 0-sealed restore)
+        # per-key frame row ranges (df is key-grouped after the sort)
+        first = np.zeros(len(uniq), np.int64)
+        last = np.zeros(len(uniq), np.int64)
+        if n:
+            bnd = np.nonzero(np.diff(conv))[0]
+            starts = np.r_[0, bnd + 1]
+            ends = np.r_[bnd, n - 1]
+            first[conv[starts]] = starts
+            last[conv[ends]] = ends
+        code_of = {k: c for c, k in enumerate(uniq)}
+        decided_summaries: list = []
+        new_summaries: dict = {}
+        for k, S in self.summaries.items():
+            s_pre, s_sti, s_sts, s_eti, s_ets, s_blen = S
+            c = code_of.get(k)
+            cont = None
+            if c is not None:
+                lo, hi = int(first[c]), int(last[c])
+                pos = lo + int(np.searchsorted(ti[lo:hi + 1], s_eti, side="right"))
+                if pos <= hi:
+                    cont = pos
+            if cont is not None and ti[cont] == s_eti + 1 and b[cont]:
+                # extension chains onto the compacted tail: cont is a run
+                # start (no frame row can hold ti == s_eti — those rows were
+                # compacted and a re-arrival would be late by monotonicity)
+                r = int(np.searchsorted(rs, cont))
+                eff_sti[r] = s_sti
+                eff_sts[r] = s_sts
+                eff_blen[r] += s_blen
+                pre_ok[r] = s_pre
+                merged[r] = True
+                merged_S[r] = S
+                continue
+            if final or (cont is not None and (ti[cont] == s_eti + 1 or sealed[cont])):
+                # decided maximal: successor turn observed non-B, or a
+                # sealed jump row proves it can never arrive on time
+                decided_summaries.append((k, S))
+                continue
+            new_summaries[k] = S
+        if decided_summaries:
+            self._emit_summaries(decided_summaries)
+        mark = np.zeros(n + 1, np.int64)  # +1/−1 range marks → drop mask
+        if nr:
+            nxt = re_ + 1
+            nxtc = np.clip(nxt, 0, n - 1)
+            has_next = (nxt < n) & (conv[nxtc] == rkey)
+            end_decided = has_next & ((ti[nxtc] == ti[re_] + 1) | sealed[nxtc])
+            if final:
+                end_decided = np.ones(nr, dtype=bool)
+            startok = sealed[rs] | merged
+            decided = end_decided & startok
+            valid = pre_ok.copy()
+            if self.within_us is not None:
+                span = ts[re_] - eff_sts
+                valid &= (span <= self.within_us) & (span >= 0)
+            emit_r = decided & valid
+            if emit_r.any():
+                sel = np.nonzero(emit_r)[0]
+                self.buf.append(pd.DataFrame({
+                    self.key: df[self.key].to_numpy()[rs[sel]],
+                    "start_turn_idx": eff_sti[sel],
+                    "end_turn_idx": ti[re_[sel]],
+                    "start_ts_us": eff_sts[sel],
+                    "end_ts_us": ts[re_[sel]],
+                    "run_len": eff_blen[sel],
+                }))
+            dsel = np.nonzero(decided)[0]
+            np.add.at(mark, rs[dsel], 1)
+            np.add.at(mark, re_[dsel] + 1, -1)
+            # compact open runs with a sealed start: sealed rows are a
+            # prefix of the run (per-key ts monotone in turn order); at most
+            # one such run per key (everything after an unsealed row is
+            # unsealed), so the dict write never collides
+            cs = np.cumsum(sealed.astype(np.int64))
+            run_sealed = cs[re_] - np.where(rs > 0, cs[np.maximum(rs - 1, 0)], 0)
+            for r in np.nonzero(~decided & startok)[0]:
+                k = uniq[rkey[r]]
+                ns = int(run_sealed[r])
+                if ns == 0:
+                    if merged[r]:
+                        new_summaries[k] = merged_S[r]  # unchanged tail
+                    continue
+                e_s = rs[r] + ns - 1
+                new_summaries[k] = (
+                    bool(pre_ok[r]), int(eff_sti[r]), int(eff_sts[r]),
+                    int(ti[e_s]), int(ts[e_s]),
+                    int(eff_blen[r] - (re_[r] - e_s)),
+                )
+                np.add.at(mark, rs[r], 1)
+                np.add.at(mark, e_s + 1, -1)
+        dropped = np.cumsum(mark[:n]) > 0
+        # non-run retention: sealed non-B rows are final boundaries; keep
+        # n_pre context rows up to the last one per key for future prefixes
+        z = np.full(len(uniq), -1, dtype=np.int64)
+        bidx = np.nonzero(sealed & ~b)[0]
+        if len(bidx):
+            np.maximum.at(z, conv[bidx], bidx)
+        keep = ((~sealed) | (np.arange(n) > z[conv] - npre)) & ~dropped
+        self.carry = df[keep].reset_index(drop=True)
+        self.summaries = new_summaries
+
+    def _emit_summaries(self, items: list) -> None:
+        rows = [
+            (k, s_sti, s_eti, s_sts, s_ets, s_blen)
+            for k, (s_pre, s_sti, s_sts, s_eti, s_ets, s_blen) in items
+            if s_pre and (self.within_us is None
+                          or 0 <= s_ets - s_sts <= self.within_us)
+        ]
+        if rows:
+            self.buf.append(pd.DataFrame({
+                self.key: [r[0] for r in rows],
+                "start_turn_idx": np.array([r[1] for r in rows], np.int64),
+                "end_turn_idx": np.array([r[2] for r in rows], np.int64),
+                "start_ts_us": np.array([r[3] for r in rows], np.int64),
+                "end_ts_us": np.array([r[4] for r in rows], np.int64),
+                "run_len": np.array([r[5] for r in rows], np.int64),
+            }))
+
     def flush(self) -> pd.DataFrame:
         from pipeflow_ray.stages.cep import empty_kleene
 
-        self.evict(1 << 62)
+        self.evict(1 << 62, final=True)
         parts = self.buf
         self.buf = []
         self.carry = None
+        self.summaries = {}
         if parts:
             return pd.concat(parts, ignore_index=True)
         return empty_kleene(self.key)
 
     def state_size(self) -> int:
         n = 0 if self.carry is None else len(self.carry)
-        return n + sum(len(p) for p in self.parts)
+        return n + sum(len(p) for p in self.parts) + len(self.summaries)
 
     # --- checkpoint support. prev_wm needs no persistence: no complete
     # match can exist entirely inside the retained sealed context (a sealed
     # non-B post row after a retained run would itself be a breaker,
     # contradicting the breaker retention rule), so resume with −inf cannot
-    # re-emit. ---
+    # re-emit. In stitch mode the same holds by construction: emission and
+    # state removal are atomic within one evict, and summaries persist in
+    # the snapshot. ---
 
     def drain(self) -> pd.DataFrame:
         from pipeflow_ray.stages.cep import empty_kleene
@@ -1835,15 +2039,51 @@ class KleeneBucketActor:
             return pd.concat(parts, ignore_index=True)
         return empty_kleene(self.key)
 
+    _SUMMARY_COLS = ("__s_pre", "__s_sti", "__s_sts", "__s_eti", "__s_ets", "__s_blen")
+
     def dump_state(self) -> pd.DataFrame:
         if self.carry is not None and len(self.carry):
-            return self.carry
-        base = pd.DataFrame({c: [] for c in (self.key, self.order, "ts_us", "__bits")})
-        base["ts_us"] = base["ts_us"].astype(np.int64)
-        base["__bits"] = base["__bits"].astype(np.uint32)
-        return base
+            base = self.carry
+        else:
+            base = pd.DataFrame({c: [] for c in (self.key, self.order, "ts_us", "__bits")})
+            base["ts_us"] = base["ts_us"].astype(np.int64)
+            base["__bits"] = base["__bits"].astype(np.uint32)
+        if not self.stitch:
+            return base
+        # stitch mode: summaries ride in the same frame as marker rows so
+        # the checkpoint mixin's key-hash re-routing lands them on the right
+        # bucket; all payload columns are int64 (parquet-roundtrip stable)
+        base = base.assign(__summary=np.int64(0),
+                           **{c: np.int64(0) for c in self._SUMMARY_COLS})
+        if not self.summaries:
+            return base
+        srows = pd.DataFrame({
+            self.key: list(self.summaries.keys()),
+            self.order: np.int64(0), "ts_us": np.int64(0),
+            "__bits": np.uint32(0), "__summary": np.int64(1),
+        })
+        vals = np.array(
+            [(int(s[0]), s[1], s[2], s[3], s[4], s[5])
+             for s in self.summaries.values()],
+            dtype=np.int64,
+        ).reshape(len(self.summaries), 6)
+        for i, c in enumerate(self._SUMMARY_COLS):
+            srows[c] = vals[:, i]
+        return pd.concat([base, srows], ignore_index=True)
 
     def load_state(self, df: pd.DataFrame) -> None:
+        if self.stitch and "__summary" in df.columns:
+            sm = df["__summary"].to_numpy(np.int64) == 1
+            srows = df[sm]
+            self.summaries = {
+                k: (bool(p), int(a), int(b_), int(c), int(d), int(e))
+                for k, p, a, b_, c, d, e in zip(
+                    srows[self.key],
+                    *(srows[c].to_numpy(np.int64) for c in self._SUMMARY_COLS),
+                )
+            }
+            df = df[~sm].drop(columns=["__summary", *self._SUMMARY_COLS])
+            df = df.astype({"__bits": np.uint32})
         self.carry = df.reset_index(drop=True)
 
 
@@ -1852,9 +2092,11 @@ class ParallelKleeneRunner(_ParallelReplayBase):
     flattened steps travel as the bitmask). Equals the batch
     :func:`match_kleene` scan under covered disorder (tested). Patterns may
     be prefix-free and/or suffix-free; suffix-free patterns seal maximal
-    runs by watermark timeout and need ``seal_gap_s`` (round-3 VERDICT #7 —
+    runs either by watermark timeout (``seal_gap_s`` — round-3 VERDICT #7;
     equality to batch additionally requires intra-run consecutive-turn
-    event-time gaps ≤ seal_gap_s; see :class:`KleeneBucketActor`)."""
+    event-time gaps ≤ seal_gap_s) or by observed evidence with bounded
+    run-summary stitching (``stitch=True`` — round-4 VERDICT #8; exact
+    batch parity under ANY gap). See :class:`KleeneBucketActor`."""
 
     mode = "cep"
 
@@ -1864,7 +2106,7 @@ class ParallelKleeneRunner(_ParallelReplayBase):
                  key: str = "conv_id", order: str = "turn_idx",
                  ts_col: str = "ts", derive=None,
                  read_columns: "list[str] | None" = None,
-                 seal_gap_s: float | None = None):
+                 seal_gap_s: float | None = None, stitch: bool = False):
         from pipeflow_ray.stages.cep import pattern_columns
 
         super().__init__(lateness_s, num_buckets, max_replayers, epoch_batches)
@@ -1877,6 +2119,7 @@ class ParallelKleeneRunner(_ParallelReplayBase):
         self.steps = [s[1] if i == self.n_pre else s for i, s in enumerate(steps)]
         self.within_us = within_us
         self.seal_gap_us = None if seal_gap_s is None else int(seal_gap_s * US)
+        self.stitch = stitch
         self.key = key
         self.order = order
         self.ts_col = ts_col
@@ -1894,7 +2137,8 @@ class ParallelKleeneRunner(_ParallelReplayBase):
     def _make_bucket_actor(self):
         return KleeneBucketActor.remote(self.n_pre, self.n_post, self.within_us,
                                         key=self.key, order=self.order,
-                                        seal_gap_us=self.seal_gap_us)
+                                        seal_gap_us=self.seal_gap_us,
+                                        stitch=self.stitch)
 
     def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
         from pipeflow_ray.stages.cep import empty_kleene

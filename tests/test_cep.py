@@ -435,19 +435,32 @@ def test_parallel_kleene_equals_batch(tmp_path):
 
 
 @pytest.mark.parametrize(
+    "seal",
+    [
+        # watermark-timeout sealing (r3 VERDICT #7): seal_gap above the
+        # fixture's largest intra-conversation turn gap
+        dict(seal_gap_s=4 * 3600.0),
+        # evidence sealing + run-summary stitching (r4 VERDICT #8): exact
+        # under any gap, no seal-gap contract
+        dict(stitch=True),
+    ],
+    ids=["timeout", "stitch"],
+)
+@pytest.mark.parametrize(
     "steps",
     [
-        # suffix-free: maximality seals by watermark timeout (r3 VERDICT #7)
+        # suffix-free: maximality has no in-span evidence
         [{"nc": (">=", 1000)}, ("+", {"nc": ("<", 300)})],
         # prefix-free AND suffix-free: pure maximal-run extraction
         [("+", {"nc": ("<", 300)})],
     ],
     ids=["suffix-free", "bare-run"],
 )
-def test_parallel_kleene_suffix_free_equals_batch(tmp_path, steps):
-    """Suffix-free streaming Kleene (watermark-timeout sealing, seal_gap
-    above the fixture's largest intra-conversation turn gap) must equal the
-    batch maximal-run scan across interleaved shards."""
+def test_parallel_kleene_suffix_free_equals_batch(tmp_path, steps, seal):
+    """Suffix-free streaming Kleene must equal the batch maximal-run scan
+    across interleaved shards, in both sealing modes (timeout needs the
+    seal gap above the fixture's largest intra-conversation turn gap;
+    stitch is exact unconditionally)."""
     import os
 
     import pyarrow as pa
@@ -473,8 +486,8 @@ def test_parallel_kleene_suffix_free_equals_batch(tmp_path, steps):
 
     got, metrics = ParallelKleeneRunner(
         steps, within_us=1_800_000_000, lateness_s=6 * 3600.0, num_buckets=4,
-        epoch_batches=2, seal_gap_s=4 * 3600.0, derive=_derive,
-        read_columns=["conv_id", "turn_idx", "text", "ts"],
+        epoch_batches=2, derive=_derive,
+        read_columns=["conv_id", "turn_idx", "text", "ts"], **seal,
     ).run(shard_dir, micro_batch_rows=256)
     assert metrics["rows"] == t.num_rows
     key = ["conv_id", "start_turn_idx"]
@@ -501,10 +514,71 @@ def test_suffix_free_streaming_kleene_requires_seal_gap():
         _ray.get(r._make_bucket_actor().state_size.remote())
 
 
-@pytest.mark.parametrize("which", ["absence", "kleene"])
+def test_kleene_stitch_bridges_seal_gap(tmp_path):
+    """The r4 VERDICT #8 scenario: an intra-run event-time gap far beyond
+    any seal gap. Timeout sealing emits the truncated pre-gap run (the
+    documented divergence); stitch mode merges the post-gap extension with
+    the compacted run summary and equals the batch scan exactly."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from pipeflow_ray.pipelines.streaming import ParallelKleeneRunner
+    from pipeflow_ray.stages.cep import match_kleene
+
+    H = 3600_000_000  # 1h in us
+    rows = []
+    # c1: long turn 0, short-turn run 1..5 with a 10h event-time gap inside
+    for i, ts in enumerate([0, 60_000_000, 120_000_000, 180_000_000,
+                            10 * H, 10 * H + 60_000_000]):
+        rows.append(("c1", i, "x" * (1200 if i == 0 else 100), ts))
+    # c2: mid-length filler advancing the watermark through the gap
+    for i in range(20):
+        rows.append(("c2", i, "y" * 500, i * H))
+    rows.sort(key=lambda r: r[3])
+    t = pa.table({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "text": [r[2] for r in rows],
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+    })
+    shard_dir = str(tmp_path / "gap")
+    os.makedirs(shard_dir)
+    _pq.write_table(t, os.path.join(shard_dir, "part-00000.parquet"))
+
+    def _derive(tbl):
+        return tbl.append_column(
+            "nc", pc.utf8_length(pc.fill_null(tbl["text"], "")).cast(pa.int64()))
+
+    steps = [{"nc": (">=", 1000)}, ("+", {"nc": ("<", 300)})]
+    kw = dict(within_us=None, lateness_s=60.0, num_buckets=2, epoch_batches=1,
+              derive=_derive, read_columns=["conv_id", "turn_idx", "text", "ts"])
+    key = ["conv_id", "start_turn_idx"]
+
+    batch_ds = ray.data.from_arrow(_derive(t).select(["conv_id", "turn_idx", "ts", "nc"]))
+    ref = (match_kleene(batch_ds, steps, within_us=None)
+           .to_pandas().sort_values(key).reset_index(drop=True))
+    assert len(ref) == 1 and int(ref.run_len[0]) == 5  # one run spanning the gap
+
+    st, _ = ParallelKleeneRunner(steps, stitch=True, **kw).run(
+        shard_dir, micro_batch_rows=2)
+    st = st.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(st, ref.astype(st.dtypes.to_dict()))
+
+    to, _ = ParallelKleeneRunner(steps, seal_gap_s=3600.0, **kw).run(
+        shard_dir, micro_batch_rows=2)
+    # timeout mode truncates at the gap — the divergence stitch closes
+    assert int(to.run_len.max()) < 5
+
+
+@pytest.mark.parametrize("which", ["absence", "kleene", "kleene-stitch"])
 def test_parallel_checkpoint_absence_kleene_crash_resume(tmp_path, which):
     """Crash+resume equals the uninterrupted run and the plain runner for
-    the absence and Kleene checkpointing variants."""
+    the absence and Kleene checkpointing variants (kleene-stitch also
+    round-trips the compacted open-run summaries through the snapshot)."""
     import os
 
     import pyarrow as pa
@@ -539,9 +613,17 @@ def test_parallel_checkpoint_absence_kleene_crash_resume(tmp_path, which):
         mk_plain = lambda: ParallelAbsenceRunner(*args, **kw)  # noqa: E731
         key = ["conv_id", "start_turn_idx"]
     else:
-        steps = [{"nc": (">=", 1000)}, ("+", {"nc": ("<", 300)}), {"nc": (">=", 1000)}]
+        if which == "kleene-stitch":
+            # suffix-free + stitch: open-run summaries must survive the
+            # checkpoint snapshot and key-hash re-routing on resume
+            steps = [{"nc": (">=", 1000)}, ("+", {"nc": ("<", 300)})]
+            extra = dict(stitch=True)
+        else:
+            steps = [{"nc": (">=", 1000)}, ("+", {"nc": ("<", 300)}), {"nc": (">=", 1000)}]
+            extra = {}
         kw = dict(within_us=1_800_000_000, lateness_s=6 * 3600.0, num_buckets=4,
-                  derive=_derive, read_columns=["conv_id", "turn_idx", "text", "ts"])
+                  derive=_derive, read_columns=["conv_id", "turn_idx", "text", "ts"],
+                  **extra)
         mk_ck = lambda: ParallelCheckpointingKleeneRunner(steps, **kw)  # noqa: E731
         mk_plain = lambda: ParallelKleeneRunner(steps, **kw)  # noqa: E731
         key = ["conv_id", "start_turn_idx"]
