@@ -479,8 +479,14 @@ def bloom_prefilter(
     from pipeflow_ray.stages.core import cached_broadcast
 
     build_key = build_key or probe_key
-    p_type = probe.schema().field(probe_key).type
-    b_type = build.schema().field(build_key).type
+    # ray.data.Schema wraps the Arrow schema: no .field(), but .names/.types
+    # surface the Arrow DataTypes
+    def _col_type(ds, col):
+        sch = ds.schema()
+        return dict(zip(sch.names, sch.types))[col]
+
+    p_type = _col_type(probe, probe_key)
+    b_type = _col_type(build, build_key)
     if p_type != b_type:
         raise TypeError(
             f"bloom_prefilter key type mismatch: probe {probe_key!r} is "
