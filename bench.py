@@ -154,6 +154,7 @@ def _run_queries(sf_dir: str, reps: int = 2) -> dict[str, float]:
         "winnow_fingerprint_docs",
         "minhash_pairs_docs",
         "ann_topk",
+        "ann_corpus_topk",
         "sketch_quantiles_price",
         "unpivot_lineitem",
         "pivot_wider_transcripts",
@@ -161,6 +162,7 @@ def _run_queries(sf_dir: str, reps: int = 2) -> dict[str, float]:
         "hash_join_segment",
         "streaming_sessions",
         "streaming_cep_pattern",
+        "streaming_cep_kleene_open",
         "streaming_join",
         "streaming_sketch_quantiles",
         "streaming_hll_distinct",
