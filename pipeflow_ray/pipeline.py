@@ -446,12 +446,15 @@ class Pipeline:
 
     def match_kleene(self, steps, within_us: int | None = None,
                      key: str = "conv_id", order: str = "turn_idx",
-                     ts_col: str = "ts") -> "Pipeline":
-        """CEP Kleene-plus: [pre…, ('+', step), post…] maximal runs."""
+                     ts_col: str = "ts", emit=()) -> "Pipeline":
+        """CEP Kleene-plus: [pre…, ('+', step), post…] maximal runs.
+        *emit* copies source columns from the span's fixed rows (offsets
+        from span start ≥ 0 / span end < 0)."""
         from pipeflow_ray.stages.cep import match_kleene
 
         return self._chain(match_kleene(self._ds, steps, within_us=within_us,
-                                        key=key, order=order, ts_col=ts_col))
+                                        key=key, order=order, ts_col=ts_col,
+                                        emit=emit))
 
     def match_many(self, patterns: dict, key: str = "conv_id",
                    order: str = "turn_idx", ts_col: str = "ts") -> "Pipeline":

@@ -1649,6 +1649,81 @@ def streaming_cep_kleene_open(sf_dir):
     return matches
 
 
+# Kleene emit columns (round 5): same maximal runs, plus source-column
+# values copied from the span's FIXED rows — the prefix row (offset 0) and
+# the run's last row (offset -1)
+_CEP_KLEENE_EMIT_SQL = f"""WITH r AS (
+      SELECT conv_id, turn_idx, role, epoch_us(ts) AS ts_us,
+             length(coalesce(text, '')) AS nc
+      FROM read_parquet('{_TP001}')),
+    runs AS (
+      SELECT conv_id, min(turn_idx) AS r0, max(turn_idx) AS r1,
+             CAST(count(*) AS BIGINT) AS run_len
+      FROM (SELECT conv_id, turn_idx,
+                   turn_idx - row_number() OVER (PARTITION BY conv_id
+                                                 ORDER BY turn_idx) AS isl
+            FROM r WHERE nc < 300)
+      GROUP BY conv_id, isl)
+    SELECT runs.conv_id, CAST(p.turn_idx AS BIGINT) AS start_turn_idx,
+           CAST(e.turn_idx AS BIGINT) AS end_turn_idx,
+           CAST(p.ts_us AS BIGINT) AS start_ts_us,
+           CAST(e.ts_us AS BIGINT) AS end_ts_us, run_len,
+           p.role AS start_role, e.role AS end_role
+    FROM runs
+    JOIN r p ON p.conv_id = runs.conv_id AND p.turn_idx = runs.r0 - 1
+            AND p.nc >= 1000
+    JOIN r e ON e.conv_id = runs.conv_id AND e.turn_idx = runs.r1
+    WHERE e.ts_us - p.ts_us BETWEEN 0 AND 1800000000"""
+
+_KLEENE_EMIT = ((0, "role", "start_role"), (-1, "role", "end_role"))
+
+
+@q("cep_kleene_emit_turns", _CEP_KLEENE_EMIT_SQL)
+def cep_kleene_emit_turns(sf_dir):
+    """Suffix-free Kleene with EMIT columns (round 5): copy the prefix
+    row's role (span-start offset 0) and the run's last row's role
+    (span-end offset -1) onto each maximal-run match. Offsets address only
+    the span's fixed rows — the variable run interior has no stable
+    address (stages/cep.check_kleene_emit)."""
+    from pipeflow_ray.stages.cep import match_kleene
+
+    ds = ray.data.read_parquet(
+        _tp(sf_dir), columns=["conv_id", "turn_idx", "text", "ts", "role"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "ts": t["ts"],
+                "role": t["role"],
+                "nc": pc.utf8_length(pc.fill_null(t["text"], "")).cast(pa.int64()),
+            }
+        )
+
+    return match_kleene(ds.map_batches(_prep, batch_format="pyarrow"),
+                        _KLEENE_OPEN_STEPS, within_us=1_800_000_000,
+                        emit=_KLEENE_EMIT)
+
+
+@q("streaming_cep_kleene_emit", _CEP_KLEENE_EMIT_SQL)
+def streaming_cep_kleene_emit(sf_dir):
+    """STREAMING stitched Kleene with emit columns: span-start emit values
+    persist inside the compacted run summaries (so a post-gap extension
+    still reports the original prefix row's role) and the span-end value
+    tracks the run's last row. Same oracle as the batch form."""
+    from pipeflow_ray.pipelines.streaming import ParallelKleeneRunner
+
+    runner = ParallelKleeneRunner(
+        _KLEENE_OPEN_STEPS, within_us=1_800_000_000, lateness_s=3 * 3600.0,
+        num_buckets=8, stitch=True, emit=_KLEENE_EMIT,
+        derive=_derive_nc,
+        read_columns=["conv_id", "turn_idx", "text", "ts", "role"],
+    )
+    matches, _metrics = runner.run(_tp(sf_dir))
+    return matches
+
+
 _CEP_ABSENCE_SQL = f"""WITH s AS (
       SELECT conv_id, turn_idx, role, epoch_us(ts) AS ts_us,
              lead(role, 1) OVER w AS role1,

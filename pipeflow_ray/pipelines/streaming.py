@@ -1748,9 +1748,13 @@ class KleeneBucketActor:
 
     def __init__(self, n_pre: int, n_post: int, within_us: int | None,
                  key: str = "conv_id", order: str = "turn_idx",
-                 seal_gap_us: int | None = None, stitch: bool = False):
+                 seal_gap_us: int | None = None, stitch: bool = False,
+                 emit=()):
+        from pipeflow_ray.stages.cep import check_kleene_emit
+
         if n_pre < 0 or n_post < 0:
             raise ValueError("negative step counts")
+        self.emit = check_kleene_emit(emit, n_pre, n_post)
         if stitch and n_post >= 1:
             raise ValueError(
                 "stitch mode is for suffix-free patterns; a fixed suffix "
@@ -1774,9 +1778,11 @@ class KleeneBucketActor:
         self.prev_wm = -(1 << 62)
         self.buf: list[pd.DataFrame] = []
         # stitch mode: per-key compacted open-run tail summaries
-        # key → (pre_valid, start_ti, start_ts, end_ti, end_ts, blen);
-        # start is PREFIX-INCLUSIVE (batch emits ti/ts of the first prefix
-        # row — see scan_kleene's i0)
+        # key → (pre_valid, start_ti, start_ts, end_ti, end_ts, blen,
+        # emit_vals); start is PREFIX-INCLUSIVE (batch emits ti/ts of the
+        # first prefix row — see scan_kleene's i0); emit_vals aligns with
+        # self.emit (span-start values fixed at compaction, the -1 value
+        # tracks the last compacted row)
         self.summaries: dict = {}
 
     def process(self, df: pd.DataFrame, watermark_us: int) -> None:
@@ -1802,7 +1808,8 @@ class KleeneBucketActor:
         df = pd.concat(frames, ignore_index=True)
         df = df.sort_values([self.key, self.order], kind="mergesort").reset_index(drop=True)
         matches = scan_kleene(df, self.n_pre, self.n_post, self.within_us,
-                              key=self.key, order=self.order, assume_sorted=True)
+                              key=self.key, order=self.order, assume_sorted=True,
+                              emit=self.emit)
         end_ts = matches.end_ts_us.to_numpy()
         if self.n_post >= 1:
             # the suffix row IS the end row: its sealing decides the match
@@ -1888,6 +1895,13 @@ class KleeneBucketActor:
         eff_blen = (re_ - rs + 1).astype(np.int64)
         merged = np.zeros(nr, dtype=bool)
         merged_S: dict = {}  # run idx → the absorbed summary (for 0-sealed restore)
+        # per-run emit values: offsets ≥ 0 are span-start rows (frame or, for
+        # merged runs, the stored summary values); -1 is the run's last row
+        eff_emit = [
+            (df[src].to_numpy(dtype=object)[i0c + off] if off >= 0
+             else df[src].to_numpy(dtype=object)[re_])
+            for off, src, _n in self.emit
+        ] if (nr and self.emit) else [np.empty(0, object) for _ in self.emit]
         # per-key frame row ranges (df is key-grouped after the sort)
         first = np.zeros(len(uniq), np.int64)
         last = np.zeros(len(uniq), np.int64)
@@ -1901,7 +1915,7 @@ class KleeneBucketActor:
         decided_summaries: list = []
         new_summaries: dict = {}
         for k, S in self.summaries.items():
-            s_pre, s_sti, s_sts, s_eti, s_ets, s_blen = S
+            s_pre, s_sti, s_sts, s_eti, s_ets, s_blen, s_evals = S
             c = code_of.get(k)
             cont = None
             if c is not None:
@@ -1920,6 +1934,9 @@ class KleeneBucketActor:
                 pre_ok[r] = s_pre
                 merged[r] = True
                 merged_S[r] = S
+                for i, (off, _src, _n) in enumerate(self.emit):
+                    if off >= 0:  # span-start rows live in the summary
+                        eff_emit[i][r] = s_evals[i]
                 continue
             if final or (cont is not None and (ti[cont] == s_eti + 1 or sealed[cont])):
                 # decided maximal: successor turn observed non-B, or a
@@ -1946,14 +1963,17 @@ class KleeneBucketActor:
             emit_r = decided & valid
             if emit_r.any():
                 sel = np.nonzero(emit_r)[0]
-                self.buf.append(pd.DataFrame({
+                frame = pd.DataFrame({
                     self.key: df[self.key].to_numpy()[rs[sel]],
                     "start_turn_idx": eff_sti[sel],
                     "end_turn_idx": ti[re_[sel]],
                     "start_ts_us": eff_sts[sel],
                     "end_ts_us": ts[re_[sel]],
                     "run_len": eff_blen[sel],
-                }))
+                })
+                for i, (_off, _src, name) in enumerate(self.emit):
+                    frame[name] = eff_emit[i][sel]
+                self.buf.append(frame)
             dsel = np.nonzero(decided)[0]
             np.add.at(mark, rs[dsel], 1)
             np.add.at(mark, re_[dsel] + 1, -1)
@@ -1971,10 +1991,15 @@ class KleeneBucketActor:
                         new_summaries[k] = merged_S[r]  # unchanged tail
                     continue
                 e_s = rs[r] + ns - 1
+                evals = tuple(
+                    (eff_emit[i][r] if off >= 0 else df[src].to_numpy()[e_s])
+                    for i, (off, src, _n) in enumerate(self.emit)
+                )
                 new_summaries[k] = (
                     bool(pre_ok[r]), int(eff_sti[r]), int(eff_sts[r]),
                     int(ti[e_s]), int(ts[e_s]),
                     int(eff_blen[r] - (re_[r] - e_s)),
+                    evals,
                 )
                 np.add.at(mark, rs[r], 1)
                 np.add.at(mark, e_s + 1, -1)
@@ -1991,20 +2016,23 @@ class KleeneBucketActor:
 
     def _emit_summaries(self, items: list) -> None:
         rows = [
-            (k, s_sti, s_eti, s_sts, s_ets, s_blen)
-            for k, (s_pre, s_sti, s_sts, s_eti, s_ets, s_blen) in items
+            (k, s_sti, s_eti, s_sts, s_ets, s_blen, s_evals)
+            for k, (s_pre, s_sti, s_sts, s_eti, s_ets, s_blen, s_evals) in items
             if s_pre and (self.within_us is None
                           or 0 <= s_ets - s_sts <= self.within_us)
         ]
         if rows:
-            self.buf.append(pd.DataFrame({
+            frame = pd.DataFrame({
                 self.key: [r[0] for r in rows],
                 "start_turn_idx": np.array([r[1] for r in rows], np.int64),
                 "end_turn_idx": np.array([r[2] for r in rows], np.int64),
                 "start_ts_us": np.array([r[3] for r in rows], np.int64),
                 "end_ts_us": np.array([r[4] for r in rows], np.int64),
                 "run_len": np.array([r[5] for r in rows], np.int64),
-            }))
+            })
+            for i, (_off, _src, name) in enumerate(self.emit):
+                frame[name] = np.array([r[6][i] for r in rows], dtype=object)
+            self.buf.append(frame)
 
     def flush(self) -> pd.DataFrame:
         from pipeflow_ray.stages.cep import empty_kleene
@@ -2016,7 +2044,7 @@ class KleeneBucketActor:
         self.summaries = {}
         if parts:
             return pd.concat(parts, ignore_index=True)
-        return empty_kleene(self.key)
+        return empty_kleene(self.key, self.emit)
 
     def state_size(self) -> int:
         n = 0 if self.carry is None else len(self.carry)
@@ -2037,7 +2065,7 @@ class KleeneBucketActor:
         self.buf = []
         if parts:
             return pd.concat(parts, ignore_index=True)
-        return empty_kleene(self.key)
+        return empty_kleene(self.key, self.emit)
 
     _SUMMARY_COLS = ("__s_pre", "__s_sti", "__s_sts", "__s_eti", "__s_ets", "__s_blen")
 
@@ -2069,20 +2097,32 @@ class KleeneBucketActor:
         ).reshape(len(self.summaries), 6)
         for i, c in enumerate(self._SUMMARY_COLS):
             srows[c] = vals[:, i]
+        for i in range(len(self.emit)):
+            srows[f"__s_e{i}"] = pd.Series(
+                [s[6][i] for s in self.summaries.values()], dtype=object)
         return pd.concat([base, srows], ignore_index=True)
 
     def load_state(self, df: pd.DataFrame) -> None:
         if self.stitch and "__summary" in df.columns:
             sm = df["__summary"].to_numpy(np.int64) == 1
             srows = df[sm]
+            ecols = [f"__s_e{i}" for i in range(len(self.emit))]
+            evs = [
+                (srows[c].to_numpy(dtype=object) if c in srows.columns
+                 else np.full(len(srows), None, dtype=object))
+                for c in ecols
+            ]
             self.summaries = {
-                k: (bool(p), int(a), int(b_), int(c), int(d), int(e))
-                for k, p, a, b_, c, d, e in zip(
+                k: (bool(p), int(a), int(b_), int(c), int(d), int(e),
+                    tuple(ev[j] for ev in evs))
+                for j, (k, p, a, b_, c, d, e) in enumerate(zip(
                     srows[self.key],
                     *(srows[c].to_numpy(np.int64) for c in self._SUMMARY_COLS),
-                )
+                ))
             }
-            df = df[~sm].drop(columns=["__summary", *self._SUMMARY_COLS])
+            df = df[~sm].drop(
+                columns=[c for c in ("__summary", *self._SUMMARY_COLS, *ecols)
+                         if c in df.columns])
             df = df.astype({"__bits": np.uint32})
         self.carry = df.reset_index(drop=True)
 
@@ -2106,8 +2146,9 @@ class ParallelKleeneRunner(_ParallelReplayBase):
                  key: str = "conv_id", order: str = "turn_idx",
                  ts_col: str = "ts", derive=None,
                  read_columns: "list[str] | None" = None,
-                 seal_gap_s: float | None = None, stitch: bool = False):
-        from pipeflow_ray.stages.cep import pattern_columns
+                 seal_gap_s: float | None = None, stitch: bool = False,
+                 emit=()):
+        from pipeflow_ray.stages.cep import check_kleene_emit, pattern_columns
 
         super().__init__(lateness_s, num_buckets, max_replayers, epoch_batches)
         plus_idx = [i for i, s in enumerate(steps)
@@ -2120,6 +2161,7 @@ class ParallelKleeneRunner(_ParallelReplayBase):
         self.within_us = within_us
         self.seal_gap_us = None if seal_gap_s is None else int(seal_gap_s * US)
         self.stitch = stitch
+        self.emit = check_kleene_emit(emit, self.n_pre, self.n_post)
         self.key = key
         self.order = order
         self.ts_col = ts_col
@@ -2127,10 +2169,12 @@ class ParallelKleeneRunner(_ParallelReplayBase):
         # bitmask, for steps over derived columns (e.g. n_chars); pair it
         # with read_columns naming the raw columns the derivation needs
         self.derive = derive
-        self.columns = read_columns or pattern_columns(self.steps, (), key, order, ts_col)
+        self.columns = read_columns or pattern_columns(self.steps, self.emit,
+                                                       key, order, ts_col)
 
     def _params(self) -> dict:
-        return {"steps": self.steps, "within_us": self.within_us, "emit": (),
+        return {"steps": self.steps, "within_us": self.within_us,
+                "emit": self.emit,
                 "key": self.key, "order": self.order, "ts_col": self.ts_col,
                 "columns": self.columns, "derive": self.derive}
 
@@ -2138,7 +2182,7 @@ class ParallelKleeneRunner(_ParallelReplayBase):
         return KleeneBucketActor.remote(self.n_pre, self.n_post, self.within_us,
                                         key=self.key, order=self.order,
                                         seal_gap_us=self.seal_gap_us,
-                                        stitch=self.stitch)
+                                        stitch=self.stitch, emit=self.emit)
 
     def run(self, parquet_path: str, micro_batch_rows: int = 65_536):
         from pipeflow_ray.stages.cep import empty_kleene
@@ -2147,7 +2191,7 @@ class ParallelKleeneRunner(_ParallelReplayBase):
         out = [f for f in ray.get([self._collect(a) for a in actors]) if len(f)]
         self._teardown(actors)
         matches = (pd.concat(out, ignore_index=True) if out
-                   else empty_kleene(self.key))
+                   else empty_kleene(self.key, self.emit))
         metrics = self._metrics(results, n_files)
         metrics["matches"] = int(len(matches))
         return matches, metrics

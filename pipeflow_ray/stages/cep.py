@@ -429,11 +429,31 @@ def match_absence(
 KLEENE_COLS = ("start_turn_idx", "end_turn_idx", "start_ts_us", "end_ts_us", "run_len")
 
 
-def empty_kleene(key: str) -> pd.DataFrame:
+def empty_kleene(key: str, emit=()) -> pd.DataFrame:
     out = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in
                         (key, *KLEENE_COLS)})
     out[key] = out[key].astype(object)
+    for _off, _src, name in emit:
+        out[name] = pd.Series([], dtype=object)
     return out
+
+
+def check_kleene_emit(emit, n_pre: int, n_post: int) -> tuple:
+    """Kleene emit offsets address the FIXED rows of the span only (the
+    variable-length run interior has no stable address): ``0 ≤ off ≤
+    n_pre`` counts from the span start (prefix steps, then the run's first
+    row at ``n_pre``); ``-(n_post+1) ≤ off ≤ -1`` counts from the span end
+    (the run's last row at ``-(n_post+1)``, then suffix steps, Python
+    style)."""
+    emit = tuple(emit)
+    for off, _src, name in emit:
+        if not (0 <= off <= n_pre or -(n_post + 1) <= off <= -1):
+            raise ValueError(
+                f"emit {name!r}: offset {off} addresses the variable run "
+                f"interior; use 0..{n_pre} (from span start) or "
+                f"{-(n_post + 1)}..-1 (from span end)"
+            )
+    return emit
 
 
 def scan_kleene(
@@ -444,13 +464,17 @@ def scan_kleene(
     key: str = "conv_id",
     order: str = "turn_idx",
     assume_sorted: bool = False,
+    emit=(),
 ) -> pd.DataFrame:
     """Vectorized maximal-run scan. ``__bits`` layout: bits 0..n_pre−1 =
     prefix steps, bit n_pre = the B (plus) step, bits n_pre+1.. = suffix
     steps. Emits one row per maximal B-run whose surrounding fixed steps
-    match on consecutive turns of the same key, with the run length."""
+    match on consecutive turns of the same key, with the run length.
+    *emit* copies source-column values from the span's FIXED rows
+    (offset convention in :func:`check_kleene_emit`)."""
+    emit = check_kleene_emit(emit, n_pre, n_post)
     if not len(df):
-        return empty_kleene(key)
+        return empty_kleene(key, emit)
     if not assume_sorted:
         df = df.sort_values([key, order], kind="mergesort").reset_index(drop=True)
     n = len(df)
@@ -469,7 +493,7 @@ def scan_kleene(
     rs = np.nonzero(b & ~prev_b_chain)[0]  # maximal-run starts
     re = np.nonzero(b & ~next_b_chain)[0]  # maximal-run ends (aligned)
     if not len(rs):
-        return empty_kleene(key)
+        return empty_kleene(key, emit)
     i0 = rs - n_pre
     i1 = re + n_post
     valid = (i0 >= 0) & (i1 < n)
@@ -488,7 +512,7 @@ def scan_kleene(
         span = ts[i1c] - ts[i0c]
         valid &= (span <= within_us) & (span >= 0)
     sel = np.nonzero(valid)[0]
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             key: df[key].to_numpy()[i0c[sel]],
             "start_turn_idx": ti[i0c[sel]],
@@ -498,10 +522,15 @@ def scan_kleene(
             "run_len": (re - rs)[sel] + 1,
         }
     )
+    for off, src, name in emit:
+        at = i0c[sel] + off if off >= 0 else i1c[sel] + 1 + off
+        out[name] = df[src].to_numpy()[at]
+    return out
 
 
-def _bucket_kleene(df, n_pre, n_post, within_us, key, order):
-    return scan_kleene(df, n_pre, n_post, within_us, key=key, order=order)
+def _bucket_kleene(df, n_pre, n_post, within_us, emit, key, order):
+    return scan_kleene(df, n_pre, n_post, within_us, key=key, order=order,
+                       emit=emit)
 
 
 def match_kleene(
@@ -512,12 +541,15 @@ def match_kleene(
     order: str = "turn_idx",
     ts_col: str = "ts",
     num_buckets: int | None = None,
+    emit=(),
 ):
     """Batch Kleene-plus CEP. *steps* is a list where EXACTLY ONE element is
     wrapped as ``("+", step)`` (the one-or-more step); the rest are fixed
     single-row steps. Greedy maximal-run semantics (see
     :func:`scan_kleene`). Same prep/exchange shape as
-    :func:`match_pattern`."""
+    :func:`match_pattern`. *emit* copies source columns from the span's
+    fixed rows — prefix rows / run first via non-negative offsets, run
+    last / suffix rows via negative offsets (:func:`check_kleene_emit`)."""
     plus_idx = [i for i, s in enumerate(steps)
                 if isinstance(s, tuple) and len(s) == 2 and s[0] == "+"]
     if len(plus_idx) != 1:
@@ -529,14 +561,16 @@ def match_kleene(
         )
     n_pre = plus_idx[0]
     n_post = len(steps) - n_pre - 1
+    emit = check_kleene_emit(emit, n_pre, n_post)
     flat = [s[1] if i == n_pre else s for i, s in enumerate(steps)]
     prep = functools.partial(
-        _prep_table, steps=flat, key=key, order=order, ts_col=ts_col, emit_srcs=[]
+        _prep_table, steps=flat, key=key, order=order, ts_col=ts_col,
+        emit_srcs=sorted({src for _o, src, _n in emit}),
     )
     pruned = ds.map_batches(prep, batch_format="pyarrow")
     kernel = functools.partial(
         _bucket_kleene, n_pre=n_pre, n_post=n_post, within_us=within_us,
-        key=key, order=order,
+        emit=emit, key=key, order=order,
     )
     return grouped_by_bucket(
         pruned, [key], kernel, num_buckets=num_buckets, batch_format="pandas"
@@ -590,13 +624,13 @@ def _bucket_scan_many(df, plan, key, order, with_run_len):
             if with_run_len:
                 m["run_len"] = np.zeros(len(m), np.int64)  # fixed: no run
         else:  # kleene
-            n_pre, n_post, within_us = entry[3], entry[4], entry[5]
+            n_pre, n_post, within_us, emit = entry[3], entry[4], entry[5], entry[6]
             m = scan_kleene(sub, n_pre, n_post, within_us, key=key, order=order,
-                            assume_sorted=True)
+                            assume_sorted=True, emit=emit)
         m.insert(1, "pattern", name)
         outs.append(m)
-    all_emit_names = sorted({nm for e in plan.values() if e[0] == "fixed"
-                             for *_x, nm in e[5]})
+    all_emit_names = sorted({nm for e in plan.values()
+                             for *_x, nm in (e[5] if e[0] == "fixed" else e[6])})
     for m in outs:
         for nm in all_emit_names:
             if nm not in m.columns:
@@ -622,7 +656,8 @@ def match_many(
     *patterns*: ``{name: {"steps": [...], "within_us": int|None,
     "emit": tuple}}``. Steps may include exactly one ``("+", step)`` Kleene
     element per pattern (greedy maximal-run semantics, as
-    :func:`match_kleene`); Kleene entries cannot emit step columns. Library
+    :func:`match_kleene`); Kleene entries emit from the span's FIXED rows
+    (offset convention in :func:`check_kleene_emit`). Library
     size is unbounded: patterns pack first-fit into 32-bit mask WORDS (one
     uint32 column per word through the exchange), and a FIXED sequence
     longer than 32 steps gets its own word-aligned run of words (step j in
@@ -669,14 +704,13 @@ def match_many(
             word_steps[w].extend(flat)
         emit = tuple(spec.get("emit", ()))
         if plus:
-            if emit:
-                raise ValueError(f"pattern {name!r}: Kleene entries cannot emit")
             any_kleene = True
+            emit = check_kleene_emit(emit, plus[0], k - plus[0] - 1)
             plan[name] = ("kleene", w, off, plus[0], k - plus[0] - 1,
-                          spec.get("within_us"))
+                          spec.get("within_us"), emit)
         else:
             plan[name] = ("fixed", w, off, k, spec.get("within_us"), emit)
-            emit_srcs |= {src for _o, src, _n in emit}
+        emit_srcs |= {src for _o, src, _n in emit}
     prep = functools.partial(
         _prep_table_many, word_steps=word_steps, key=key, order=order,
         ts_col=ts_col, emit_srcs=sorted(emit_srcs),

@@ -514,6 +514,69 @@ def test_suffix_free_streaming_kleene_requires_seal_gap():
         _ray.get(r._make_bucket_actor().state_size.remote())
 
 
+def test_kleene_emit_batch_many_streaming(tmp_path):
+    """Kleene emit columns (round 5): span-start (offset 0 = prefix row)
+    and span-end (offset -1 = run's last row) values must agree between
+    the raw table, batch match_kleene, a match_many Kleene entry, and
+    both streaming sealing modes."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from pipeflow_ray.fixtures import gen_transcripts
+    from pipeflow_ray.pipelines.streaming import ParallelKleeneRunner
+    from pipeflow_ray.stages.cep import match_kleene, match_many
+
+    t = gen_transcripts(3000)
+    shard_dir = str(tmp_path / "shards")
+    os.makedirs(shard_dir)
+    per = (t.num_rows + 3) // 4
+    for k in range(4):
+        _pq.write_table(t.slice(k * per, per),
+                        os.path.join(shard_dir, f"part-{k:05d}.parquet"))
+
+    def _derive(tbl):
+        return tbl.append_column(
+            "nc", pc.utf8_length(pc.fill_null(tbl["text"], "")).cast(pa.int64()))
+
+    steps = [{"nc": (">=", 1000)}, ("+", {"nc": ("<", 300)})]
+    emit = ((0, "role", "start_role"), (-1, "role", "end_role"))
+    key = ["conv_id", "start_turn_idx"]
+
+    batch_ds = ray.data.from_arrow(
+        _derive(t).select(["conv_id", "turn_idx", "ts", "nc", "role"]))
+    ref = (match_kleene(batch_ds, steps, within_us=1_800_000_000, emit=emit)
+           .to_pandas().sort_values(key).reset_index(drop=True))
+    assert len(ref) > 0
+    raw = t.to_pandas().set_index(["conv_id", "turn_idx"])
+    for _, m in ref.head(40).iterrows():
+        assert raw.loc[(m.conv_id, m.start_turn_idx)].role == m.start_role
+        assert raw.loc[(m.conv_id, m.end_turn_idx)].role == m.end_role
+
+    lib = {"open": {"steps": steps, "within_us": 1_800_000_000, "emit": emit}}
+    many = (match_many(batch_ds, lib).to_pandas()
+            .drop(columns=["pattern"]).sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(many[ref.columns], ref)
+
+    for seal in (dict(seal_gap_s=4 * 3600.0), dict(stitch=True)):
+        got, _m = ParallelKleeneRunner(
+            steps, within_us=1_800_000_000, lateness_s=6 * 3600.0,
+            num_buckets=4, epoch_batches=2, derive=_derive, emit=emit,
+            read_columns=["conv_id", "turn_idx", "text", "ts", "role"], **seal,
+        ).run(shard_dir, micro_batch_rows=256)
+        got = got.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[ref.columns], ref.astype(got[ref.columns].dtypes.to_dict()))
+
+    # offsets addressing the variable run interior are rejected eagerly
+    import pytest as _pt
+    with _pt.raises(ValueError, match="run interior"):
+        match_kleene(batch_ds, steps, emit=((2, "role", "x"),))
+
+
 def test_kleene_stitch_bridges_seal_gap(tmp_path):
     """The r4 VERDICT #8 scenario: an intra-run event-time gap far beyond
     any seal gap. Timeout sealing emits the truncated pre-gap run (the
@@ -532,18 +595,20 @@ def test_kleene_stitch_bridges_seal_gap(tmp_path):
     H = 3600_000_000  # 1h in us
     rows = []
     # c1: long turn 0, short-turn run 1..5 with a 10h event-time gap inside
+    c1_roles = ["user", "assistant", "tool", "assistant", "tool", "assistant"]
     for i, ts in enumerate([0, 60_000_000, 120_000_000, 180_000_000,
                             10 * H, 10 * H + 60_000_000]):
-        rows.append(("c1", i, "x" * (1200 if i == 0 else 100), ts))
+        rows.append(("c1", i, "x" * (1200 if i == 0 else 100), ts, c1_roles[i]))
     # c2: mid-length filler advancing the watermark through the gap
     for i in range(20):
-        rows.append(("c2", i, "y" * 500, i * H))
+        rows.append(("c2", i, "y" * 500, i * H, "user"))
     rows.sort(key=lambda r: r[3])
     t = pa.table({
         "conv_id": [r[0] for r in rows],
         "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
         "text": [r[2] for r in rows],
         "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        "role": [r[4] for r in rows],
     })
     shard_dir = str(tmp_path / "gap")
     os.makedirs(shard_dir)
@@ -554,12 +619,15 @@ def test_kleene_stitch_bridges_seal_gap(tmp_path):
             "nc", pc.utf8_length(pc.fill_null(tbl["text"], "")).cast(pa.int64()))
 
     steps = [{"nc": (">=", 1000)}, ("+", {"nc": ("<", 300)})]
+    emit = ((0, "role", "start_role"), (-1, "role", "end_role"))
     kw = dict(within_us=None, lateness_s=60.0, num_buckets=2, epoch_batches=1,
-              derive=_derive, read_columns=["conv_id", "turn_idx", "text", "ts"])
+              derive=_derive, emit=emit,
+              read_columns=["conv_id", "turn_idx", "text", "ts", "role"])
     key = ["conv_id", "start_turn_idx"]
 
-    batch_ds = ray.data.from_arrow(_derive(t).select(["conv_id", "turn_idx", "ts", "nc"]))
-    ref = (match_kleene(batch_ds, steps, within_us=None)
+    batch_ds = ray.data.from_arrow(
+        _derive(t).select(["conv_id", "turn_idx", "ts", "nc", "role"]))
+    ref = (match_kleene(batch_ds, steps, within_us=None, emit=emit)
            .to_pandas().sort_values(key).reset_index(drop=True))
     assert len(ref) == 1 and int(ref.run_len[0]) == 5  # one run spanning the gap
 
@@ -567,6 +635,9 @@ def test_kleene_stitch_bridges_seal_gap(tmp_path):
         shard_dir, micro_batch_rows=2)
     st = st.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(st, ref.astype(st.dtypes.to_dict()))
+    # span-start emit survived summary compaction across the 10h gap; the
+    # span-end emit tracked the post-gap extension's last row
+    assert st.start_role[0] == "user" and st.end_role[0] == "assistant"
 
     to, _ = ParallelKleeneRunner(steps, seal_gap_s=3600.0, **kw).run(
         shard_dir, micro_batch_rows=2)
