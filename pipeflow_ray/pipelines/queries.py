@@ -1819,6 +1819,43 @@ def token_counts_docs(sf_dir):
     return docs.map_batches(token_count(), batch_format="pyarrow").select_columns(["doc_id", "n_tokens"])
 
 
+_PACK_BUDGET, _PACK_PARTS = 256, 16
+
+# greedy-reset packing recomputed in SQL: the recursive CTE walks each
+# partition in doc_id order carrying (seq_idx, acc) — the exact contract
+# functions/packing.py implements with one searchsorted per sequence
+_PACK_SQL = f"""WITH RECURSIVE t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(length(regexp_extract_all(coalesce(text, ''), '\\S+')) AS BIGINT) AS n_tokens,
+         CAST(doc_id % {_PACK_PARTS} AS BIGINT) AS part,
+         row_number() OVER (PARTITION BY doc_id % {_PACK_PARTS} ORDER BY doc_id) AS rn
+  FROM documents),
+g AS (
+  SELECT part, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS seq_idx, n_tokens AS acc
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.part, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN g.acc + t.n_tokens > {_PACK_BUDGET} THEN g.seq_idx + 1 ELSE g.seq_idx END,
+         CASE WHEN g.acc + t.n_tokens > {_PACK_BUDGET} THEN t.n_tokens ELSE g.acc + t.n_tokens END
+  FROM g JOIN t ON t.part = g.part AND t.rn = g.rn + 1)
+SELECT doc_id, n_tokens, part, seq_idx FROM g"""
+
+
+@q("pack_sequences_docs", _PACK_SQL)
+def pack_sequences_docs(sf_dir):
+    """Sequence packing for training batches (round 5): assign every doc
+    to a fixed token-budget training sequence — partition by doc_id %
+    parts (deterministic under any shard layout / retry / resume), then
+    greedy-reset packing in doc_id order; an over-budget doc packs alone.
+    Token counting stays a vectorized RE2 kernel in the map stage, so only
+    (id, count) int pairs cross the exchange. Oracle: recursive-CTE SQL
+    carrying (seq_idx, acc) through each partition."""
+    from pipeflow_ray.functions.packing import pack_sequences
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_sequences(docs, budget=_PACK_BUDGET, num_parts=_PACK_PARTS)
+
+
 def _winnow_oracle_sql(k: int, w: int) -> str:
     """Winnowing fingerprints recomputed IN SQL: positional k-gram polynomial
     codepoint hashes (HUGEINT % 2^64 ≡ numpy uint64 wraparound, the simhash-

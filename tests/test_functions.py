@@ -490,3 +490,46 @@ def test_contamination_bloom_superset_and_fp_rate():
     probe = pd.Series([f"x{i}\x1fy{i}\x1fz{i}" for i in range(50_000)])
     fp = _bloom_contains(bloom, probe).mean()
     assert fp < 0.01, fp
+
+
+def test_pack_sequences_vs_brute_force():
+    """Greedy token-budget packing ≡ the per-row reference loop, under
+    random counts including zero-token and over-budget docs, regardless
+    of block layout (partition = id % parts is layout-independent)."""
+    import ray.data
+
+    from pipeflow_ray.functions.packing import pack_sequences
+
+    rng = np.random.default_rng(11)
+    n, parts, budget = 700, 8, 120
+    counts = rng.integers(0, 200, size=n)  # some docs exceed the budget
+    counts[rng.integers(0, n, size=10)] = 0
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "n_tokens_in": pa.array(counts, pa.int64())})
+
+    def brute():
+        rows = []
+        for p in range(parts):
+            acc, seq, first = 0, 0, True
+            for d in range(p, n, parts):
+                c = int(counts[d])
+                if not first and acc + c > budget:
+                    seq, acc = seq + 1, c
+                else:
+                    acc += c
+                first = False
+                rows.append((d, c, p, seq))
+        return pd.DataFrame(rows, columns=["doc_id", "n_tokens", "part", "seq_idx"])
+
+    ref = brute().sort_values("doc_id").reset_index(drop=True)
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = (pack_sequences(ds, budget=budget, n_tokens_col="n_tokens_in",
+                              num_parts=parts)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[ref.columns].astype(ref.dtypes.to_dict()), ref)
+
+    # every sequence respects the budget unless it is a single oversize doc
+    g = ref.groupby(["part", "seq_idx"]).n_tokens.agg(["sum", "count"])
+    bad = g[(g["sum"] > budget) & (g["count"] > 1)]
+    assert bad.empty
