@@ -82,6 +82,25 @@ def main():
           f"(max run_len {int(k_batch.run_len.max()) if len(k_batch) else 0})")
     assert len(k_batch) == len(k_stream)
 
+    # --- suffix-free Kleene with STITCH sealing and emit columns: no
+    # closing step, runs seal on observed evidence (exact under any
+    # intra-run event-time gap); emit copies values from the span's fixed
+    # rows — offset 0 = the prefix row, -1 = the run's last row
+    osteps = [{"nc": (">=", 1000)}, ("+", {"nc": ("<", 300)})]
+    oemit = ((0, "role", "start_role"), (-1, "role", "end_role"))
+    o_batch = match_kleene(
+        ray.data.read_parquet(tp, columns=["conv_id", "turn_idx", "text", "ts", "role"])
+        .map_batches(derive_nc, batch_format="pyarrow"),
+        osteps, within_us=1_800_000_000, emit=oemit).to_pandas()
+    o_stream, om = ParallelKleeneRunner(
+        osteps, within_us=1_800_000_000, lateness_s=3 * 3600.0, stitch=True,
+        emit=oemit, derive=derive_nc,
+        read_columns=["conv_id", "turn_idx", "text", "ts", "role"],
+    ).run(tp)
+    print(f"open kleene (stitch): batch {len(o_batch)} / streaming "
+          f"{om['matches']}, emit cols {[c for c in o_batch.columns if c.endswith('_role')]}")
+    assert len(o_batch) == len(o_stream)
+
     # --- checkpointed streaming: epoch barriers commit matches exactly-once
     # and snapshot the partial-match tails; a re-run resumes (or no-ops)
     out = tempfile.mkdtemp(prefix="cep_ck_")

@@ -93,6 +93,16 @@ def main():
     print(f"decontamination vs a 10-doc blocklist: "
           f"{int(cont.contaminated.sum())}/{len(cont)} docs flagged")
 
+    # --- sequence packing: the step between curation and tokenized shard
+    # writing — deterministic id%parts partitions, greedy token budget
+    from pipeflow_ray.functions.packing import pack_sequences
+
+    packed = pack_sequences(docs, budget=512, num_parts=8).to_pandas()
+    n_seqs = int((packed.groupby("part").seq_idx.max() + 1).sum())
+    fill = packed.n_tokens.sum() / (n_seqs * 512)
+    print(f"packing: {len(packed)} docs → {n_seqs} sequences of ≤512 tokens "
+          f"({fill:.0%} mean fill)")
+
 
 if __name__ == "__main__":
     if not ray.is_initialized():
