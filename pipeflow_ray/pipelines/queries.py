@@ -1841,6 +1841,33 @@ g AS (
 SELECT doc_id, n_tokens, part, seq_idx FROM g"""
 
 
+_SHUF_SEED = 77
+
+
+def _epoch_shuffle_sql() -> str:
+    from pipeflow_ray.functions.sampling import splitmix64_sql
+
+    hcols = splitmix64_sql("doc_id", _SHUF_SEED)
+    return f"""WITH h AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {hcols} FROM documents)
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY __h, doc_id) - 1 AS BIGINT) AS shuffle_pos
+        FROM h"""
+
+
+@q("epoch_shuffle_docs", _epoch_shuffle_sql())
+def epoch_shuffle_docs(sf_dir):
+    """Deterministic epoch shuffle (round 5): every doc gets its GLOBAL
+    training-order position for the epoch — rank of splitmix64(doc_id +
+    seed) — via a radix-bucket two-pass rank (per-batch bincount of the
+    hash's top bits folded into global offsets, then one int-pair exchange
+    + per-bucket sort), never a full-width all-to-all sort. Oracle: the
+    same hash replayed bit-exactly in SQL, row_number over it."""
+    from pipeflow_ray.functions.shuffle import epoch_shuffle
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return epoch_shuffle(docs, seed=_SHUF_SEED)
+
+
 @q("pack_sequences_docs", _PACK_SQL)
 def pack_sequences_docs(sf_dir):
     """Sequence packing for training batches (round 5): assign every doc

@@ -533,3 +533,32 @@ def test_pack_sequences_vs_brute_force():
     g = ref.groupby(["part", "seq_idx"]).n_tokens.agg(["sum", "count"])
     bad = g[(g["sum"] > budget) & (g["count"] > 1)]
     assert bad.empty
+
+
+def test_epoch_shuffle_global_rank():
+    """Deterministic epoch shuffle: positions are the dense global rank of
+    splitmix64(id + seed), invariant to block layout, and different seeds
+    give different permutations."""
+    import ray.data
+
+    from pipeflow_ray.functions.sampling import splitmix64
+    from pipeflow_ray.functions.shuffle import epoch_shuffle
+
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    h = splitmix64(ids.astype(np.uint64) + np.uint64(5))
+    ref = pd.DataFrame({"doc_id": ids, "shuffle_pos": np.argsort(np.argsort(h, kind="stable"))})
+
+    outs = []
+    for blocks in (1, 13):
+        got = (epoch_shuffle(ray.data.from_arrow(t).repartition(blocks), seed=5,
+                             radix_bits=6)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype(ref.dtypes.to_dict()), ref)
+        outs.append(got)
+    assert sorted(outs[0].shuffle_pos) == list(range(n))  # dense 0..n-1
+
+    other = (epoch_shuffle(ray.data.from_arrow(t), seed=6, radix_bits=6)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (other.shuffle_pos.to_numpy() != outs[0].shuffle_pos.to_numpy()).any()
