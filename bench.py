@@ -151,6 +151,8 @@ def _run_queries(sf_dir: str, reps: int = 2) -> dict[str, float]:
         "repetition_docs",
         "tfidf_docs",
         "dedup_exact_docs",
+        "pack_sequences_docs",
+        "epoch_shuffle_docs",
         "winnow_fingerprint_docs",
         "minhash_pairs_docs",
         "ann_topk",

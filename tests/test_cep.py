@@ -645,6 +645,59 @@ def test_kleene_stitch_bridges_seal_gap(tmp_path):
     assert int(to.run_len.max()) < 5
 
 
+@pytest.mark.parametrize("seed", [3, 17, 29])
+def test_kleene_stitch_arrival_order_fuzz(tmp_path, seed):
+    """Stitch sealing must equal batch under RANDOMIZED arrival order with
+    bounded displacement (covered disorder): rows are re-ordered by
+    ts + U(0, 1h) jitter before sharding, so runs fragment arbitrarily
+    across micro-batches and epochs, compaction and merge paths all fire."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from pipeflow_ray.fixtures import gen_transcripts
+    from pipeflow_ray.pipelines.streaming import ParallelKleeneRunner
+    from pipeflow_ray.stages.cep import match_kleene
+
+    t = gen_transcripts(3000)
+    rng = np.random.default_rng(seed)
+    ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    jitter = rng.integers(0, 3600_000_000, size=len(ts_us))
+    order = np.argsort(ts_us + jitter, kind="stable")
+    t = t.take(pa.array(order))
+    shard_dir = str(tmp_path / "shards")
+    os.makedirs(shard_dir)
+    per = (t.num_rows + 5) // 6
+    for k in range(6):
+        _pq.write_table(t.slice(k * per, per),
+                        os.path.join(shard_dir, f"part-{k:05d}.parquet"))
+
+    def _derive(tbl):
+        return tbl.append_column(
+            "nc", pc.utf8_length(pc.fill_null(tbl["text"], "")).cast(pa.int64()))
+
+    steps = [{"nc": (">=", 1000)}, ("+", {"nc": ("<", 300)})]
+    got, metrics = ParallelKleeneRunner(
+        steps, within_us=1_800_000_000, lateness_s=2 * 3600.0, num_buckets=3,
+        epoch_batches=1, stitch=True, derive=_derive,
+        read_columns=["conv_id", "turn_idx", "text", "ts"],
+    ).run(shard_dir, micro_batch_rows=128)
+    assert metrics["late_rows"] == 0  # jitter ≤ 1h < 2h lateness: covered
+
+    key = ["conv_id", "start_turn_idx"]
+    got = got.sort_values(key).reset_index(drop=True)
+    assert not got.duplicated(key).any()
+    batch_ds = ray.data.from_arrow(
+        _derive(t).select(["conv_id", "turn_idx", "ts", "nc"]))
+    ref = (match_kleene(batch_ds, steps, within_us=1_800_000_000)
+           .to_pandas().sort_values(key).reset_index(drop=True))
+    assert len(ref) > 0
+    pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
+
+
 @pytest.mark.parametrize("which", ["absence", "kleene", "kleene-stitch"])
 def test_parallel_checkpoint_absence_kleene_crash_resume(tmp_path, which):
     """Crash+resume equals the uninterrupted run and the plain runner for
