@@ -516,3 +516,160 @@ def contamination_check_bloom(bloom_ref, k: int = 3, text_col: str = "text",
         )
 
     return _apply
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (rational-idf variant, cross-engine deterministic)
+# ---------------------------------------------------------------------------
+
+def _split_tokens(t: pa.Table, text_col: str):
+    """(dl, doc_of, tokens) for a batch: one Arrow split, list offsets give
+    per-row token counts — no Python per-row work."""
+    lists = pc.split_pattern(pc.fill_null(t[text_col], ""), " ").combine_chunks()
+    off = lists.offsets.to_numpy().astype(np.int64)
+    dl = np.diff(off)
+    doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), dl)
+    return dl, doc_of, lists.values.to_pandas()
+
+
+def _bm25_stats_partial(t: pa.Table, *, terms_ref, text_col: str) -> pa.Table:
+    """Per-batch corpus-statistic partials as SPARSE (idx, val) pairs —
+    idx < T is per-term document frequency, idx == T the batch doc count,
+    idx == T+1 the batch token total. Sparse pairs, never positional
+    vectors: Ray's iter_batches slices/coalesces block boundaries (working
+    notes), so positional folding is unsafe."""
+    from pipeflow_ray.stages.core import cached_broadcast
+
+    terms = cached_broadcast(terms_ref)  # sorted ndarray[object] of query terms
+    big_t = np.int64(len(terms))
+    dl, doc_of, toks = _split_tokens(t, text_col)
+    idxs = [np.array([big_t, big_t + 1], np.int64)]
+    vals = [np.array([t.num_rows, int(dl.sum())], np.int64)]
+    ti = pd.Index(terms).get_indexer(toks)  # hash lookup, -1 = not a query term
+    m = ti >= 0
+    if m.any():
+        pair = np.unique(doc_of[m] * big_t + ti[m])  # distinct (doc, term)
+        df = np.bincount((pair % big_t).astype(np.int64), minlength=len(terms))
+        nz = np.nonzero(df)[0].astype(np.int64)
+        idxs.append(nz)
+        vals.append(df[nz].astype(np.int64))
+    return pa.table({"idx": pa.array(np.concatenate(idxs), pa.int64()),
+                     "val": pa.array(np.concatenate(vals), pa.int64())})
+
+
+def _bm25_score_partial(t: pa.Table, *, bref, k: int, k1: float, b: float,
+                        text_col: str, id_col: str) -> pa.Table:
+    """Per-batch BM25 scoring + local top-k per query. Shared-term work is
+    factored: each (doc, term) contribution is computed ONCE and reused by
+    every query containing the term. Contributions are floored to int64
+    micro-units PER TERM before summing (the driver-gate float discipline),
+    so the score is bit-deterministic across engines — every float op in
+    the chain is an IEEE basic op mirrored operation-for-operation by the
+    SQL oracle (no ln; the idf is the rational (N-df+0.5)/(df+0.5), same
+    convention as tfidf_terms' ln-free idf)."""
+    from pipeflow_ray.stages.core import cached_broadcast
+
+    terms, idf, avgdl, qterm_idx = cached_broadcast(bref)
+    big_t = len(terms)
+    n = t.num_rows
+    dl, doc_of, toks = _split_tokens(t, text_col)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    out_q, out_id, out_sc, out_nt = [], [], [], []
+    ti = pd.Index(terms).get_indexer(toks)
+    m = ti >= 0
+    if m.any() and n:
+        key = doc_of[m] * np.int64(big_t) + ti[m]
+        tf_mat = np.bincount(key, minlength=n * big_t).reshape(n, big_t)
+        tfd = tf_mat.astype(np.float64)
+        dld = dl.astype(np.float64)[:, None]
+        # mirrored by the SQL oracle token-for-token (parenthesization matters:
+        # IEEE basic ops are deterministic only at fixed association order)
+        denom = tfd + (k1 * ((1.0 - b) + ((b * dld) / avgdl)))
+        num = tfd * (k1 + 1.0)
+        contrib = np.floor(((1000000.0 * idf[None, :]) * num) / denom).astype(np.int64)
+        contrib[tf_mat == 0] = 0  # floor(0/denom) is 0 already; explicit for clarity
+        matched = tf_mat > 0
+        for qi, tidx in enumerate(qterm_idx):
+            nt = matched[:, tidx].sum(axis=1).astype(np.int64)
+            hit = np.nonzero(nt)[0]
+            if not len(hit):
+                continue
+            sc = contrib[hit][:, tidx].sum(axis=1)
+            order = np.lexsort((ids[hit], -sc))[:k]  # score desc, id asc
+            sel = hit[order]
+            out_q.append(np.full(len(sel), qi, np.int64))
+            out_id.append(ids[sel])
+            out_sc.append(sc[order])
+            out_nt.append(nt[sel])
+    cat = (lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64))
+    return pa.table({
+        "query_id": pa.array(cat(out_q), pa.int64()),
+        id_col: pa.array(cat(out_id), pa.int64()),
+        "score_micro": pa.array(cat(out_sc), pa.int64()),
+        "n_terms": pa.array(cat(out_nt), pa.int64()),
+    })
+
+
+def bm25_topk(docs, query_terms, k: int = 10, k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """BM25 lexical retrieval: top-*k* documents per query, rational-idf
+    variant (idf = (N-df+0.5)/(df+0.5), no ln — bit-deterministic across
+    engines, the same convention as :func:`tfidf_terms`).
+
+    *query_terms* is a list of term collections, one per query; scores sum
+    the per-term BM25 contribution over each query's DISTINCT terms.
+
+    Shape (two corpus passes, no shuffle — retrieval over an unindexed
+    corpus cannot do better without a prebuilt posting index):
+
+    1. **stats pass** — sparse int (idx, val) partials per batch (per-term
+       df restricted to the union of query terms, doc count, token total);
+       driver folds O(T) rows. Nothing text-shaped leaves the tasks.
+    2. **score pass** — terms + idf + query incidence broadcast ONCE
+       (``ray.put`` + per-worker cache); each batch computes every
+       (doc, term) contribution once via one bincount matrix, reuses it
+       across queries, and emits only its LOCAL top-k per query; the
+       driver merges ≤ Q x k rows per block (the brute_force_topk merge
+       pattern — not a corpus materialization).
+
+    Output: (query_id, id_col, score_micro, n_terms, rk), rank 1..k per
+    query by (score desc, id asc) — tie-safe and deterministic. Only docs
+    matching >= 1 query term appear (standard retrieval semantics).
+    """
+    import functools
+
+    import ray
+    import ray.data
+
+    term_union = sorted({str(w) for qts in query_terms for w in qts})
+    terms = np.array(term_union, dtype=object)
+    big_t = len(terms)
+    terms_ref = ray.put(terms)
+    parts = docs.map_batches(
+        functools.partial(_bm25_stats_partial, terms_ref=terms_ref, text_col=text_col),
+        batch_format="pyarrow",
+    ).to_pandas()
+    agg = parts.groupby("idx")["val"].sum()
+    n_docs = int(agg.loc[big_t])
+    total_tokens = int(agg.loc[big_t + 1])
+    df = np.zeros(big_t, np.int64)
+    tdf = agg[agg.index < big_t]
+    df[tdf.index.to_numpy()] = tdf.to_numpy()
+    # integer subtract first, then convert — mirrors CAST(N - df AS DOUBLE)
+    idf = ((n_docs - df).astype(np.float64) + 0.5) / (df.astype(np.float64) + 0.5)
+    avgdl = float(total_tokens) / float(n_docs)
+    tix = pd.Index(terms)
+    qterm_idx = [np.unique(tix.get_indexer([str(w) for w in qts])) for qts in query_terms]
+    bref = ray.put((terms, idf, avgdl, qterm_idx))
+    partials = docs.map_batches(
+        functools.partial(_bm25_score_partial, bref=bref, k=k, k1=k1, b=b,
+                          text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+    )
+    pdf = partials.to_pandas()
+    pdf = pdf.sort_values(["query_id", "score_micro", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+    pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    pdf["rk"] = (pdf.groupby("query_id").cumcount().to_numpy() + 1).astype(np.int64)
+    import ray.data as _rd
+    return _rd.from_pandas(pdf)

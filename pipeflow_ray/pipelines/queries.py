@@ -2188,6 +2188,83 @@ def tfidf_docs(sf_dir):
 
 
 @q(
+    "bm25_topk_docs",
+    """WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+                  FROM documents),
+            dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(len(toks)) AS BIGINT) AS total FROM d),
+            a AS (SELECT CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+                  FROM n),
+            qt AS (SELECT DISTINCT query_id, term
+                   FROM (SELECT doc_id AS query_id, unnest(toks[1:5]) AS term
+                         FROM d WHERE doc_id < 8)),
+            tk AS (SELECT doc_id, unnest(toks) AS term FROM d),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk
+                   WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+            dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+            contrib AS (
+              SELECT q.query_id, f.doc_id,
+                     CAST(floor(((1000000.0
+                                  * ((CAST(n.n_docs - x.df AS DOUBLE) + 0.5)
+                                     / (CAST(x.df AS DOUBLE) + 0.5)))
+                                 * (CAST(f.tf AS DOUBLE) * 2.2))
+                                / (CAST(f.tf AS DOUBLE)
+                                   + (1.2 * (0.25
+                                             + ((0.75 * CAST(l.dl AS DOUBLE))
+                                                / a.avgdl))))) AS BIGINT) AS c
+              FROM qt q JOIN tf f USING (term) JOIN dfq x USING (term)
+                   JOIN dl l ON l.doc_id = f.doc_id, n, a),
+            sc AS (SELECT query_id, doc_id,
+                          CAST(sum(c) AS BIGINT) AS score_micro,
+                          CAST(count(*) AS BIGINT) AS n_terms
+                   FROM contrib GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY score_micro DESC, doc_id) AS rk
+                  FROM sc)
+       SELECT query_id, doc_id, score_micro, n_terms, CAST(rk AS BIGINT) AS rk
+       FROM r WHERE rk <= 10""",
+)
+def bm25_topk_docs(sf_dir):
+    """BM25 lexical retrieval over the documents corpus: queries are the
+    first-5-token DISTINCT term sets of docs 0-7; top-10 per query by the
+    rational-idf BM25 (k1=1.2, b=0.75), scores floored to int64 micro-units
+    per term (functions/text.bm25_topk — two passes, int-only stat partials,
+    broadcast idf, per-batch local top-k; the SQL oracle mirrors every float
+    op at identical association order, so score_micro is bit-identical)."""
+    import pyarrow.dataset as pads
+
+    from pipeflow_ray.functions.text import bm25_topk
+
+    qdf = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+            filter=pads.field("doc_id") < 8,  # row-group pushdown at the read
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    qids = qdf.doc_id.to_numpy()
+    query_terms = [str(x or "").split(" ")[:5] for x in qdf.text]
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    got = bm25_topk(docs, query_terms, k=10)
+
+    def _fmt(t: pa.Table) -> pa.Table:
+        qcol = t["query_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "query_id": pa.array(qids[qcol], pa.int64()),
+                "doc_id": t["doc_id"],
+                "score_micro": t["score_micro"],
+                "n_terms": t["n_terms"],
+                "rk": t["rk"].cast(pa.int64()),
+            }
+        )
+
+    return got.map_batches(_fmt, batch_format="pyarrow")
+
+
+@q(
     "streaming_vocab_docs",
     """WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
                   FROM documents),

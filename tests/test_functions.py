@@ -562,3 +562,65 @@ def test_epoch_shuffle_global_rank():
     other = (epoch_shuffle(ray.data.from_arrow(t), seed=6, radix_bits=6)
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert (other.shuffle_pos.to_numpy() != outs[0].shuffle_pos.to_numpy()).any()
+
+
+def _bm25_reference(texts, ids, query_terms, k=10, k1=1.2, b=0.75):
+    """Row-at-a-time BM25 with the library's exact float discipline —
+    independent reference for the vectorized two-pass implementation."""
+    import math
+
+    docs = [t.split(" ") for t in texts]
+    n = len(docs)
+    avgdl = float(sum(len(d) for d in docs)) / float(n)
+    out = {}
+    for qi, qts in enumerate(query_terms):
+        terms = sorted(set(qts))
+        rows = []
+        for did, toks in zip(ids, docs):
+            sc, nt = 0, 0
+            for term in terms:
+                tf = toks.count(term)
+                if not tf:
+                    continue
+                df = sum(term in d for d in docs)
+                idf = ((n - df) + 0.5) / (df + 0.5)
+                num = float(tf) * (k1 + 1.0)
+                den = float(tf) + (k1 * ((1.0 - b) + ((b * float(len(toks))) / avgdl)))
+                sc += int(math.floor(((1000000.0 * idf) * num) / den))
+                nt += 1
+            if nt:
+                rows.append((did, sc, nt))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        out[qi] = rows[:k]
+    return out
+
+
+def test_bm25_topk_matches_reference_and_layout_invariant():
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    texts, ids = docs.text.tolist(), docs.doc_id.tolist()
+    query_terms = [t.split(" ")[:4] for t in texts[:3]] + [["zzz-not-a-token"]]
+    ref = _bm25_reference(texts, ids, query_terms, k=5)
+    from pipeflow_ray.functions.text import bm25_topk
+
+    for blocks in (1, 7):
+        ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                   columns=["doc_id", "text"]).repartition(blocks)
+        got = bm25_topk(ds, query_terms, k=5).to_pandas()
+        assert got[got.query_id == 3].empty  # no-match query emits nothing
+        for qi in range(3):
+            g = got[got.query_id == qi].sort_values("rk")
+            assert list(zip(g.doc_id, g.score_micro, g.n_terms)) == ref[qi]
+            assert list(g.rk) == list(range(1, len(ref[qi]) + 1))
+
+
+def test_bm25_topk_tie_break_by_id():
+    """Identical docs tie on score — rank order must fall back to doc id."""
+    from pipeflow_ray.functions.text import bm25_topk
+
+    t = pa.table({
+        "doc_id": pa.array([4, 2, 9, 7], pa.int64()),
+        "text": pa.array(["alpha beta", "alpha beta", "alpha beta", "gamma delta"]),
+    })
+    got = bm25_topk(ray.data.from_arrow(t).repartition(2), [["alpha"]], k=3).to_pandas()
+    assert list(got.doc_id) == [2, 4, 9]
+    assert got.score_micro.nunique() == 1 and list(got.rk) == [1, 2, 3]
