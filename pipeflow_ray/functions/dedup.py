@@ -906,3 +906,167 @@ def neardup_clusters(
 
     return _stable_empty(labels.map_batches(_fmt, batch_format="pyarrow"),
                          pa.schema([(id_col, pa.int64()), ("cluster_id", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup: duplicated k-gram coverage per document
+# (the two-pass fingerprint alternative to ExactSubstr suffix arrays —
+# "Deduplicating Training Data Makes Language Models Better", Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+_DUPSPAN_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_chars", pa.int64()),
+        ("n_grams", pa.int64()),
+        ("n_dup_grams", pa.int64()),
+        ("dup_chars", pa.int64()),
+        ("dup_frac_micro", pa.int64()),
+    ]
+)
+
+
+def _dupspan_positions(k: int, text_col: str, id_col: str):
+    """Stage A: per doc, positional k-gram rolling hashes (1-based g, NO
+    padding — a doc shorter than k has zero grams) plus one stat row
+    ``g = -1, v = n_chars`` per doc. ``rk`` is the exchange routing key:
+    the gram hash for position rows, splitmix64(doc_id) for stat rows (so
+    the per-doc stat rows spread instead of piling into one bucket)."""
+    from pipeflow_ray.functions.sampling import splitmix64
+    from pipeflow_ray.functions.text import WINNOW_P
+
+    powers = WINNOW_P ** np.arange(k, dtype=np.uint64)
+
+    def _fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        doc_parts, g_parts, v_parts = [], [], []
+        n_chars = np.empty(len(texts), dtype=np.int64)
+        for i, tx in enumerate(texts):
+            cp = np.frombuffer((tx or "").encode("utf-32-le", "ignore"),
+                               dtype=np.uint32).astype(np.uint64)
+            n = len(cp)
+            n_chars[i] = n
+            if n < k:
+                continue
+            h = np.lib.stride_tricks.sliding_window_view(cp, k) @ powers
+            doc_parts.append(np.full(len(h), ids[i], dtype=np.int64))
+            g_parts.append(np.arange(1, n - k + 2, dtype=np.int64))
+            v_parts.append(h.view(np.int64))
+        doc = np.concatenate([*doc_parts, ids]) if doc_parts else ids
+        g = np.concatenate([*g_parts, np.full(len(ids), -1, np.int64)]) \
+            if g_parts else np.full(len(ids), -1, np.int64)
+        v = np.concatenate([*v_parts, n_chars]) if v_parts else n_chars
+        rk = v.copy()
+        stat = g == -1
+        rk[stat] = splitmix64(doc[stat].view(np.uint64)).view(np.int64)
+        return pa.table({"doc_id": pa.array(doc), "g": pa.array(g),
+                         "v": pa.array(v), "rk": pa.array(rk)})
+
+    return _fn
+
+
+def _dupspan_keep(min_count: int):
+    """Reduce 1 (bucketed by gram hash): keep the positions whose gram hash
+    occurs ≥ *min_count* times corpus-wide; stat rows pass through."""
+
+    def _fn(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["rk"])
+        g = t["g"].to_numpy(zero_copy_only=False)
+        stats = t.filter(pa.array(g == -1))
+        pos = t.filter(pa.array(g >= 0))
+        if pos.num_rows:
+            v = pos["v"].to_numpy(zero_copy_only=False)
+            order = np.argsort(v, kind="stable")
+            vs = v[order]
+            brk = np.empty(len(vs), dtype=bool)
+            brk[0] = True
+            brk[1:] = vs[1:] != vs[:-1]
+            run_id = np.cumsum(brk) - 1
+            run_len = np.bincount(run_id)
+            keep_sorted = run_len[run_id] >= min_count
+            keep = np.empty(len(vs), dtype=bool)
+            keep[order] = keep_sorted
+            pos = pos.filter(pa.array(keep))
+        return pa.concat_tables([stats, pos])
+
+    return _fn
+
+
+def _dupspan_coverage(k: int):
+    """Reduce 2 (bucketed by doc_id): merge each doc's duplicated positions
+    into islands (equal-length intervals sorted by start: a new island starts
+    when the gap exceeds k) and report count + union coverage."""
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        stats = df[df.g == -1]
+        out = pd.DataFrame(
+            {"doc_id": stats.doc_id.to_numpy(np.int64),
+             "n_chars": stats.v.to_numpy(np.int64)}
+        )
+        dup = df[df.g >= 0].sort_values(["doc_id", "g"], kind="stable")
+        if len(dup):
+            d = dup.doc_id.to_numpy(np.int64)
+            g = dup.g.to_numpy(np.int64)
+            brk = np.empty(len(g), dtype=bool)
+            brk[0] = True
+            brk[1:] = (d[1:] != d[:-1]) | (g[1:] - g[:-1] > k)
+            isl = np.cumsum(brk) - 1
+            starts = np.flatnonzero(brk)
+            cover = g[np.append(starts[1:] - 1, len(g) - 1)] - g[starts] + k
+            per_isl = pd.DataFrame(
+                {"doc_id": d[starts], "cover": cover,
+                 "n": np.bincount(isl)}
+            )
+            per_doc = per_isl.groupby("doc_id", sort=False).sum().reset_index()
+            out = out.merge(per_doc, on="doc_id", how="left")
+        else:
+            out["cover"] = 0
+            out["n"] = 0
+        nc = out.n_chars.to_numpy(np.float64)
+        dc = out.cover.fillna(0).to_numpy(np.int64)
+        out["n_grams"] = np.maximum(out.n_chars.to_numpy(np.int64) - k + 1, 0)
+        out["n_dup_grams"] = out.n.fillna(0).astype(np.int64)
+        out["dup_chars"] = dc
+        out["dup_frac_micro"] = np.where(
+            nc > 0, np.floor(1e6 * dc / np.maximum(nc, 1.0)), 0.0
+        ).astype(np.int64)
+        return out[["doc_id", "n_chars", "n_grams", "n_dup_grams",
+                    "dup_chars", "dup_frac_micro"]]
+
+    return _fn
+
+
+def substring_dup_stats(
+    ds: ray.data.Dataset,
+    k: int = 25,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Duplicated-substring coverage per document: every character position
+    whose k-gram occurs ≥ *min_count* times corpus-wide is "duplicated"; the
+    output reports, per doc, the count of duplicated positions and the union
+    length of their [g, g+k) spans — the signal ExactSubstr-style training-
+    data dedup cuts on (drop or trim docs whose ``dup_frac`` is high).
+
+    Shape: one text read → int-only from there. Two keyed exchanges:
+    (1) by gram hash — corpus-wide occurrence counts, positions filtered to
+    the duplicated set in the bucket (no driver materialization, no broadcast
+    of the duplicated-gram set); (2) by doc_id — vectorized island merge per
+    bucket. Exchange volume is O(total characters) int64 triples (the same
+    order as the token exchange ``tfidf_terms`` ships); the reference has no
+    analog (nearest: ``Distinct()``, PipeFlow/Pipeline.cs:80-84). Gram
+    identity is the 64-bit rolling polynomial hash — two distinct grams
+    colliding is ~n²/2⁶⁵ and deterministic, never flaky."""
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    pos = ds.map_batches(
+        _dupspan_positions(k, text_col, id_col), batch_format="pyarrow"
+    )
+    kept = grouped_by_bucket(pos, ["rk"], _dupspan_keep(min_count),
+                             num_buckets, batch_format="pyarrow")
+    out = grouped_by_bucket(kept, ["doc_id"], _dupspan_coverage(k),
+                            num_buckets, batch_format="pandas")
+    return _stable_empty(out, _DUPSPAN_SCHEMA)

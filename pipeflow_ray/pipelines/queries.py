@@ -1883,6 +1883,52 @@ def pack_sequences_docs(sf_dir):
     return pack_sequences(docs, budget=_PACK_BUDGET, num_parts=_PACK_PARTS)
 
 
+_DUPSPAN_K = 25
+
+_DUPSPAN_SQL = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+ stats AS (SELECT doc_id, CAST(length(tx) AS BIGINT) AS n_chars FROM base),
+ pos AS (SELECT doc_id, CAST(unnest(range(1, length(tx) - {_DUPSPAN_K} + 2)) AS INT) AS g, tx
+         FROM base),
+ gr AS (SELECT doc_id, g, substr(tx, g, {_DUPSPAN_K}) AS gram FROM pos),
+ cnt AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= 2),
+ dup AS (SELECT doc_id, g FROM gr JOIN cnt USING (gram)),
+ isl AS (SELECT doc_id, g,
+                CASE WHEN lag(g) OVER w IS NULL
+                          OR g - lag(g) OVER w > {_DUPSPAN_K} THEN 1 ELSE 0 END AS brk
+         FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY g)),
+ isl2 AS (SELECT doc_id, g,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY g) AS island FROM isl),
+ per_isl AS (SELECT doc_id, island, count(*) AS c,
+                    max(g) - min(g) + {_DUPSPAN_K} AS cover
+             FROM isl2 GROUP BY doc_id, island),
+ cov AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_dup_grams,
+                CAST(sum(cover) AS BIGINT) AS dup_chars
+         FROM per_isl GROUP BY doc_id)
+SELECT s.doc_id, s.n_chars,
+       CAST(greatest(s.n_chars - {_DUPSPAN_K - 1}, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(c.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CASE WHEN s.n_chars > 0
+            THEN CAST(floor(1000000.0 * coalesce(c.dup_chars, 0) / s.n_chars) AS BIGINT)
+            ELSE 0 END AS dup_frac_micro
+FROM stats s LEFT JOIN cov c USING (doc_id)"""
+
+
+@q("substring_dedup_docs", _DUPSPAN_SQL)
+def substring_dedup_docs(sf_dir):
+    """ExactSubstr-style duplicated-substring coverage (round 5): every char
+    position whose 25-gram occurs ≥2 times corpus-wide, merged to interval
+    islands per doc — count + union span length + floor-micro fraction
+    (functions/dedup.substring_dup_stats: one text read, two int-only keyed
+    exchanges, no driver materialization). Oracle recomputes the selection by
+    grouping the actual substrings, islands via lag/sum gaps-and-islands."""
+    from pipeflow_ray.functions.dedup import substring_dup_stats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return substring_dup_stats(docs, k=_DUPSPAN_K, min_count=2)
+
+
 def _winnow_oracle_sql(k: int, w: int) -> str:
     """Winnowing fingerprints recomputed IN SQL: positional k-gram polynomial
     codepoint hashes (HUGEINT % 2^64 ≡ numpy uint64 wraparound, the simhash-

@@ -624,3 +624,96 @@ def test_bm25_topk_tie_break_by_id():
     got = bm25_topk(ray.data.from_arrow(t).repartition(2), [["alpha"]], k=3).to_pandas()
     assert list(got.doc_id) == [2, 4, 9]
     assert got.score_micro.nunique() == 1 and list(got.rk) == [1, 2, 3]
+
+
+def _dupspan_brute(texts: dict[int, str], k: int, min_count: int = 2):
+    """Pure-Python reference for substring_dup_stats."""
+    from collections import Counter
+
+    grams = Counter()
+    for tx in texts.values():
+        tx = tx or ""
+        for g in range(len(tx) - k + 1):
+            grams[tx[g : g + k]] += 1
+    out = {}
+    for did, tx in texts.items():
+        tx = tx or ""
+        pos = [g + 1 for g in range(len(tx) - k + 1) if grams[tx[g : g + k]] >= min_count]
+        cover = 0
+        if pos:
+            start = prev = pos[0]
+            for g in pos[1:]:
+                if g - prev > k:
+                    cover += prev - start + k
+                    start = g
+                prev = g
+            cover += prev - start + k
+        nc = len(tx)
+        out[did] = (
+            nc,
+            max(nc - k + 1, 0),
+            len(pos),
+            cover,
+            int(np.floor(1e6 * cover / nc)) if nc > 0 else 0,
+        )
+    return out
+
+
+def test_substring_dup_stats_vs_brute_force():
+    from pipeflow_ray.functions.dedup import substring_dup_stats
+
+    k = 8
+    texts = {
+        0: "abcdefghijklmnop THE SHARED RUN xyz",  # shares a long run with 1
+        1: "zzz THE SHARED RUN qqq THE SHARED RUN",  # also repeats it internally
+        2: "completely unique text block here!",
+        3: "short",  # < k: zero grams
+        4: "",  # empty
+        5: None,  # null text
+        6: "abcdefghijklmnop",  # shares prefix with 0
+    }
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = (
+        substring_dup_stats(ds, k=k, min_count=2, num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _dupspan_brute(texts, k)
+    assert len(got) == len(texts)
+    for _, r in got.iterrows():
+        nc, ng, nd, cov, frac = exp[r.doc_id]
+        assert (r.n_chars, r.n_grams, r.n_dup_grams, r.dup_chars, r.dup_frac_micro) == (
+            nc, ng, nd, cov, frac,
+        ), f"doc {r.doc_id}"
+    # non-vacuity: the shared run IS detected, the unique doc is clean
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[1].n_dup_grams > 0 and by_id.loc[0].n_dup_grams > 0
+    assert by_id.loc[2].n_dup_grams == 0 and by_id.loc[2].dup_chars == 0
+    assert by_id.loc[3].n_grams == 0 and by_id.loc[4].n_chars == 0
+
+
+def test_substring_dup_stats_layout_invariant():
+    from pipeflow_ray.functions.dedup import substring_dup_stats
+
+    rng = np.random.default_rng(7)
+    base = "the quick brown fox jumps over the lazy dog "
+    texts = {
+        i: (base * int(rng.integers(1, 4)))[: int(rng.integers(10, 120))]
+        for i in range(40)
+    }
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        outs.append(
+            substring_dup_stats(ds, k=10, num_buckets=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    exp = _dupspan_brute(texts, 10)
+    for _, r in outs[0].iterrows():
+        assert (r.n_chars, r.n_grams, r.n_dup_grams, r.dup_chars, r.dup_frac_micro) == exp[r.doc_id]
