@@ -372,3 +372,129 @@ def corpus_topk(
 @ray.remote
 def _nrows(t) -> int:
     return 0 if t is None else t.num_rows
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means over the embedding column — INTEGER-EXACT Lloyd's.
+# The semantic-clustering primitive (bucket a corpus by embedding for
+# semantic dedup / mixture balancing). Floats never accumulate: vectors are
+# quantized ONCE to int64 (floor(v * scale)), every distance is an exact
+# int64 sum of squares, and each new centroid is the element-wise FLOOR
+# DIVISION of exact integer sums — so assignments are bit-reproducible
+# across engines, block layouts, summation orders, and retries, and the
+# whole algorithm is SQL-replicable for the oracle gate.
+# ---------------------------------------------------------------------------
+
+
+def _quantize(t: pa.Table, vec_col: str, scale: int) -> np.ndarray:
+    return np.floor(_list_matrix(t[vec_col]) * float(scale)).astype(np.int64)
+
+
+def _assign_int(x: np.ndarray, cent: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact int64 squared distances; argmin ties → lowest cluster id (numpy
+    first-occurrence, same as SQL ``ORDER BY dist2, cluster``)."""
+    n, k = len(x), len(cent)
+    d = np.empty((n, k), dtype=np.int64)
+    for j in range(k):  # k is small; avoids the (n, k, d) broadcast temp
+        diff = x - cent[j]
+        d[:, j] = np.einsum("ij,ij->i", diff, diff)
+    best = d.argmin(axis=1)
+    return best, d[np.arange(n), best]
+
+
+def _kmeans_partial(t: pa.Table, *, cref, scale: int, vec_col: str) -> pa.Table:
+    """Per-batch partial sums for one Lloyd iteration: (cluster, dim, s, n)
+    rows — k×d ints per batch, merged by partial_aggregate's combiner tree."""
+    cent = _cached_broadcast(cref)
+    k, dd = cent.shape
+    if not t.num_rows:
+        return pa.table({"cluster": pa.array([], pa.int64()),
+                         "dim": pa.array([], pa.int64()),
+                         "s": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    x = _quantize(t, vec_col, scale)
+    best, _ = _assign_int(x, cent)
+    sums = np.zeros((k, dd), dtype=np.int64)
+    np.add.at(sums, best, x)
+    counts = np.bincount(best, minlength=k).astype(np.int64)
+    cl = np.repeat(np.arange(k, dtype=np.int64), dd)
+    dim = np.tile(np.arange(1, dd + 1, dtype=np.int64), k)  # 1-based like SQL
+    return pa.table({"cluster": pa.array(cl), "dim": pa.array(dim),
+                     "s": pa.array(sums.ravel()),
+                     "n": pa.array(np.repeat(counts, dd))})
+
+
+def _kmeans_assign(t: pa.Table, *, cref, scale: int, vec_col: str,
+                   id_col: str) -> pa.Table:
+    cent = _cached_broadcast(cref)
+    if not t.num_rows:
+        return pa.table({id_col: t[id_col].cast(pa.int64()),
+                         "cluster": pa.array([], pa.int64()),
+                         "dist2": pa.array([], pa.int64())})
+    x = _quantize(t, vec_col, scale)
+    best, d2 = _assign_int(x, cent)
+    return pa.table({id_col: t[id_col].cast(pa.int64()),
+                     "cluster": pa.array(best.astype(np.int64)),
+                     "dist2": pa.array(d2)})
+
+
+def kmeans_assignments(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init: np.ndarray | None = None,
+    cache: bool = True,
+) -> ray.data.Dataset:
+    """Lloyd's k-means over an embedding Dataset → ``(id, cluster, dist2)``.
+
+    *init*: (k, d) float matrix of seed centroids; default = the vectors with
+    ``id_col < k`` (deterministic). Each iteration is one ``map_batches``
+    pass emitting k×d integer partial rows per batch + a
+    :func:`partial_aggregate` tree merge; the driver holds only the k×d
+    centroid matrix (broadcast per iteration via ``ray.put``). An empty
+    cluster keeps its previous centroid. ``cache=True`` materializes the
+    input once so the iters+1 passes skip re-reading/decoding parquet —
+    at cluster scale the object store spills it; set False to re-read.
+
+    dist2 = Σ_dim (floor(v·scale) − centroid)² — exact int64 (unit-norm-ish
+    embeddings at scale 1e6 need d ≤ ~500 for headroom; values up to ±100
+    still fit at d = 64)."""
+    from pipeflow_ray.stages.window import partial_aggregate
+
+    if init is None:
+        def _seed_rows(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            return t.filter(_pc.less(t[id_col], k))
+
+        seeds = (ds.map_batches(_seed_rows, batch_format="pyarrow")
+                 .to_pandas().sort_values(id_col))
+        init = np.stack(seeds[vec_col].to_numpy()).astype(np.float64)
+    cent = np.floor(init.astype(np.float64) * float(scale)).astype(np.int64)
+
+    if cache:
+        ds = ds.materialize()
+    for _ in range(iters):
+        cref = ray.put(cent)
+        partials = ds.map_batches(
+            _kmeans_partial, fn_kwargs=dict(cref=cref, scale=scale, vec_col=vec_col),
+            batch_format="pyarrow")
+        agg = partial_aggregate(
+            partials, ["cluster", "dim"], {"s": ("sum", "s"), "n": ("sum", "n")}
+        ).to_pandas()  # exactly k×d tiny rows
+        nxt = cent.copy()
+        agg = agg.sort_values(["cluster", "dim"])
+        cl = agg.cluster.to_numpy(np.int64)
+        dim = agg.dim.to_numpy(np.int64) - 1
+        s = agg.s.to_numpy(np.int64)
+        n = agg.n.to_numpy(np.int64)
+        nz = n > 0
+        nxt[cl[nz], dim[nz]] = np.floor_divide(s[nz], n[nz])
+        cent = nxt
+    cref = ray.put(cent)
+    return ds.map_batches(
+        _kmeans_assign,
+        fn_kwargs=dict(cref=cref, scale=scale, vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow")

@@ -1984,6 +1984,75 @@ def winnow_fingerprint_docs(sf_dir):
     ).select_columns(["doc_id", "n_fp", "fp_xor"])
 
 
+_KMEANS_K, _KMEANS_ITERS, _KMEANS_SCALE = 6, 3, 1_000_000
+
+
+def _kmeans_sql(k: int, iters: int, scale: int) -> str:
+    """Lloyd's k-means replayed EXACTLY in SQL: quantize → per-iteration
+    (assign by exact int64 squared distance, argmin ties to lowest cluster;
+    re-center by exact integer floor division, empty cluster keeps its
+    centroid) → final assignment. Every op is integer, so the chain is
+    bit-identical to functions/similarity.kmeans_assignments."""
+    parts = [f"""WITH e AS (SELECT vec_id, unnest(embedding) AS ev,
+                    generate_subscripts(embedding, 1) AS dim FROM embeddings),
+ q AS (SELECT vec_id, dim, CAST(floor(CAST(ev AS DOUBLE) * {scale}.0) AS BIGINT) AS x
+       FROM e),
+ c0 AS (SELECT vec_id AS cluster, dim, x AS c FROM q WHERE vec_id < {k})"""]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+ d{i} AS (SELECT q.vec_id, p.cluster,
+                 CAST(sum((q.x - p.c) * (q.x - p.c)) AS BIGINT) AS dist2
+          FROM q JOIN {prev} p USING (dim) GROUP BY 1, 2),
+ a{i} AS (SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rk
+          FROM d{i}),
+ s{i} AS (SELECT a.cluster, q.dim, CAST(sum(q.x) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM a{i} a JOIN q USING (vec_id) WHERE a.rk = 1 GROUP BY 1, 2),
+ c{i} AS (SELECT p.cluster, p.dim,
+                 CASE WHEN s.n IS NULL THEN p.c
+                      ELSE CAST((s.s - (((s.s % s.n) + s.n) % s.n)) / s.n AS BIGINT)
+                 END AS c
+          FROM {prev} p LEFT JOIN s{i} s USING (cluster, dim))""")
+        prev = f"c{i}"
+    parts.append(f""",
+ df AS (SELECT q.vec_id, p.cluster,
+               CAST(sum((q.x - p.c) * (q.x - p.c)) AS BIGINT) AS dist2
+        FROM q JOIN {prev} p USING (dim) GROUP BY 1, 2),
+ af AS (SELECT vec_id, cluster, dist2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rk
+        FROM df)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2 FROM af WHERE rk = 1""")
+    return "".join(parts)
+
+
+@q("kmeans_embeddings", _kmeans_sql(_KMEANS_K, _KMEANS_ITERS, _KMEANS_SCALE))
+def kmeans_embeddings(sf_dir):
+    """Distributed k-means over the embedding column (round 5): integer-exact
+    Lloyd's (functions/similarity.kmeans_assignments) — vectors quantized once
+    to int64, exact squared distances, floor-division re-centering, so the
+    3-iteration chain and final (vec_id, cluster, dist2) are bit-identical to
+    the SQL replay. Seeds = the vectors with vec_id < k (filter-pushdown
+    read). The semantic-clustering primitive for embedding-space dedup and
+    mixture bucketing."""
+    from pipeflow_ray.functions.similarity import kmeans_assignments
+
+    seeds = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+            filter=pads.field("vec_id") < _KMEANS_K,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    init = np.stack(seeds.embedding.to_numpy()).astype(np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_assignments(
+        ds, k=_KMEANS_K, iters=_KMEANS_ITERS, scale=_KMEANS_SCALE, init=init
+    )
+
+
 @q(
     "ann_topk",
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),

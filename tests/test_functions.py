@@ -717,3 +717,68 @@ def test_substring_dup_stats_layout_invariant():
     exp = _dupspan_brute(texts, 10)
     for _, r in outs[0].iterrows():
         assert (r.n_chars, r.n_grams, r.n_dup_grams, r.dup_chars, r.dup_frac_micro) == exp[r.doc_id]
+
+
+def _kmeans_brute(x: np.ndarray, init: np.ndarray, iters: int, scale: int):
+    """Pure-numpy integer-exact Lloyd reference."""
+    xq = np.floor(x.astype(np.float64) * scale).astype(np.int64)
+    cent = np.floor(init.astype(np.float64) * scale).astype(np.int64)
+    for _ in range(iters):
+        d = ((xq[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        nxt = cent.copy()
+        for j in range(len(cent)):
+            m = a == j
+            if m.any():
+                nxt[j] = np.floor_divide(xq[m].sum(0), m.sum())
+        cent = nxt
+    d = ((xq[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    a = d.argmin(1)
+    return a, d[np.arange(len(xq)), a]
+
+
+def test_kmeans_assignments_vs_brute_force_and_layout():
+    from pipeflow_ray.functions.similarity import kmeans_assignments
+
+    rng = np.random.default_rng(11)
+    # 3 well-separated blobs + noise, d=8
+    x = np.concatenate([
+        rng.normal(0.0, 0.05, (40, 8)),
+        rng.normal(0.6, 0.05, (40, 8)),
+        rng.normal(-0.6, 0.05, (40, 8)),
+    ]).astype(np.float32)
+    ids = np.arange(len(x), dtype=np.int64)
+    init = x[:3].astype(np.float64)
+    exp_a, exp_d = _kmeans_brute(x, init, iters=4, scale=10**6)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(x)})
+    for parts in (1, 5):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = (
+            kmeans_assignments(ds, k=3, iters=4, init=init)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        assert (got.cluster.to_numpy() == exp_a).all()
+        assert (got.dist2.to_numpy() == exp_d).all()
+    # the blobs separate: each third lands in one cluster
+    assert len(set(exp_a[:40])) == 1 and len(set(exp_a[40:80])) == 1
+    assert len({exp_a[0], exp_a[40], exp_a[80]}) == 3
+
+
+def test_kmeans_empty_cluster_keeps_centroid():
+    from pipeflow_ray.functions.similarity import kmeans_assignments
+
+    # seed 2 sits far away and captures nothing after iteration 1 — its
+    # centroid must stay put (both engines' documented rule) and the run
+    # must still be deterministic
+    x = np.array([[0.0, 0.0], [0.1, 0.0], [0.9, 1.0], [1.0, 0.9],
+                  [0.05, 0.05]], dtype=np.float32)
+    init = np.array([[0.0, 0.0], [1.0, 1.0], [50.0, 50.0]])
+    exp_a, exp_d = _kmeans_brute(x, init, iters=3, scale=10**6)
+    df = pd.DataFrame({"vec_id": np.arange(5, dtype=np.int64), "embedding": list(x)})
+    got = (
+        kmeans_assignments(ray.data.from_pandas(df), k=3, iters=3, init=init)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert (got.cluster.to_numpy() == exp_a).all()
+    assert (got.dist2.to_numpy() == exp_d).all()
+    assert 2 not in set(got.cluster)  # the far seed stayed empty
