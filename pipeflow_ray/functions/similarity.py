@@ -464,6 +464,19 @@ def kmeans_assignments(
     still fit at d = 64)."""
     from pipeflow_ray.stages.window import partial_aggregate
 
+    ds, cent = _kmeans_train(ds, k, iters, scale, vec_col, id_col, init, cache)
+    cref = ray.put(cent)
+    return ds.map_batches(
+        _kmeans_assign,
+        fn_kwargs=dict(cref=cref, scale=scale, vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow")
+
+
+def _kmeans_train(ds, k, iters, scale, vec_col, id_col, init, cache):
+    """Run the Lloyd iterations; return (possibly-materialized ds, final
+    int64 centroid matrix)."""
+    from pipeflow_ray.stages.window import partial_aggregate
+
     if init is None:
         def _seed_rows(t: pa.Table) -> pa.Table:
             import pyarrow.compute as _pc
@@ -493,8 +506,95 @@ def kmeans_assignments(
         nz = n > 0
         nxt[cl[nz], dim[nz]] = np.floor_divide(s[nz], n[nz])
         cent = nxt
+    return ds, cent
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al. 2023): k-means buckets the
+# corpus by embedding, then EXACT pair search runs within each cluster only —
+# the cluster structure is the candidate filter (vs. hyperplane-LSH
+# bucketing in dedup.embedding_neardup_pairs). Pair identity is the exact
+# int64 squared distance on the quantized vectors, so results are
+# bit-reproducible and SQL-replayable; by design pairs split across
+# clusters are not candidates (the published method's recall tradeoff).
+# ---------------------------------------------------------------------------
+
+
+def _sem_prep(t: pa.Table, *, cref, scale: int, vec_col: str, id_col: str) -> pa.Table:
+    cent = _cached_broadcast(cref)
+    if not t.num_rows:
+        return pa.table({"__cluster": pa.array([], pa.int64()),
+                         "__id": t[id_col].cast(pa.int64()), "__vec": t[vec_col]})
+    x = _quantize(t, vec_col, scale)
+    best, _ = _assign_int(x, cent)
+    return pa.table({"__cluster": pa.array(best.astype(np.int64)),
+                     "__id": t[id_col].cast(pa.int64()), "__vec": t[vec_col]})
+
+
+def _sem_pairs(tau2: int, scale: int):
+    """Per-bucket kernel: for each cluster in the bucket, exact pairwise
+    int64 distances via the dot identity |a|²+|b|²−2a·b (all terms bounded:
+    |x| ≤ scale ⇒ a·b ≤ d·scale² ≈ 6.4e13 at d=64). O(n_c²·d) per cluster —
+    the k choice bounds n_c (SemDeDup's contract: k grows with the corpus)."""
+
+    def _fn(t: pa.Table) -> pa.Table:
+        cl = t["__cluster"].to_numpy(zero_copy_only=False)
+        ids = t["__id"].to_numpy(zero_copy_only=False)
+        out_a, out_b, out_d = [], [], []
+        for c in np.unique(cl):
+            m = cl == c
+            if m.sum() < 2:
+                continue
+            x = np.floor(_list_matrix(t.filter(pa.array(m))["__vec"])
+                         * float(scale)).astype(np.int64)
+            cid = ids[m]
+            g = x @ x.T
+            nn = np.diag(g)
+            d2 = nn[:, None] + nn[None, :] - 2 * g
+            iu = np.triu_indices(len(cid), 1)
+            keep = d2[iu] <= tau2
+            a, b = cid[iu[0][keep]], cid[iu[1][keep]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_d.append(d2[iu][keep])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "dist2": pa.array([], pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a)),
+                         "id_b": pa.array(np.concatenate(out_b)),
+                         "dist2": pa.array(np.concatenate(out_d))})
+
+    return _fn
+
+
+def semantic_dedup_pairs(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 3,
+    tau2: int = 10**12,
+    scale: int = 1_000_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init: np.ndarray | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Semantic near-dup pairs: ``(id_a, id_b, dist2)`` with ``id_a < id_b``,
+    both vectors in the same k-means cluster and exact quantized squared
+    distance ≤ *tau2*. One kmeans train (iters passes of tiny int partials),
+    one cluster-keyed exchange of (cluster, id, raw vector), per-bucket exact
+    pair search. The driver holds only the k×d centroid matrix."""
+    from pipeflow_ray.functions.dedup import _stable_empty
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    ds, cent = _kmeans_train(ds, k, iters, scale, vec_col, id_col, init, True)
     cref = ray.put(cent)
-    return ds.map_batches(
-        _kmeans_assign,
-        fn_kwargs=dict(cref=cref, scale=scale, vec_col=vec_col, id_col=id_col),
+    prep = ds.map_batches(
+        _sem_prep, fn_kwargs=dict(cref=cref, scale=scale, vec_col=vec_col, id_col=id_col),
         batch_format="pyarrow")
+    out = grouped_by_bucket(prep, ["__cluster"], _sem_pairs(tau2, scale),
+                            num_buckets, batch_format="pyarrow")
+    return _stable_empty(out, pa.schema([("id_a", pa.int64()),
+                                         ("id_b", pa.int64()),
+                                         ("dist2", pa.int64())]))

@@ -1987,7 +1987,7 @@ def winnow_fingerprint_docs(sf_dir):
 _KMEANS_K, _KMEANS_ITERS, _KMEANS_SCALE = 6, 3, 1_000_000
 
 
-def _kmeans_sql(k: int, iters: int, scale: int) -> str:
+def _kmeans_prefix_sql(k: int, iters: int, scale: int) -> str:
     """Lloyd's k-means replayed EXACTLY in SQL: quantize → per-iteration
     (assign by exact int64 squared distance, argmin ties to lowest cluster;
     re-center by exact integer floor division, empty cluster keeps its
@@ -2022,9 +2022,13 @@ def _kmeans_sql(k: int, iters: int, scale: int) -> str:
         FROM q JOIN {prev} p USING (dim) GROUP BY 1, 2),
  af AS (SELECT vec_id, cluster, dist2,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rk
-        FROM df)
-SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2 FROM af WHERE rk = 1""")
+        FROM df)""")
     return "".join(parts)
+
+
+def _kmeans_sql(k: int, iters: int, scale: int) -> str:
+    return (_kmeans_prefix_sql(k, iters, scale)
+            + "\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2 FROM af WHERE rk = 1")
 
 
 @q("kmeans_embeddings", _kmeans_sql(_KMEANS_K, _KMEANS_ITERS, _KMEANS_SCALE))
@@ -2050,6 +2054,51 @@ def kmeans_embeddings(sf_dir):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return kmeans_assignments(
         ds, k=_KMEANS_K, iters=_KMEANS_ITERS, scale=_KMEANS_SCALE, init=init
+    )
+
+
+_SEMDEDUP_TAU2 = 1_400_000_000_000
+
+
+def _semdedup_sql(k: int, iters: int, scale: int, tau2: int) -> str:
+    """SemDeDup pairs replayed in SQL: the exact kmeans chain, then a
+    within-cluster self-join with the same exact integer distance."""
+    return _kmeans_prefix_sql(k, iters, scale) + f""",
+ asg AS (SELECT vec_id, cluster FROM af WHERE rk = 1),
+ pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+ dd AS (SELECT pr.id_a, pr.id_b,
+               CAST(sum((qa.x - qb.x) * (qa.x - qb.x)) AS BIGINT) AS dist2
+        FROM pr JOIN q qa ON qa.vec_id = pr.id_a
+                JOIN q qb ON qb.vec_id = pr.id_b AND qb.dim = qa.dim
+        GROUP BY 1, 2)
+SELECT id_a, id_b, dist2 FROM dd WHERE dist2 <= {tau2}"""
+
+
+@q("semdedup_embeddings",
+   _semdedup_sql(_KMEANS_K, _KMEANS_ITERS, _KMEANS_SCALE, _SEMDEDUP_TAU2))
+def semdedup_embeddings(sf_dir):
+    """SemDeDup semantic near-dup pairs (round 5): k-means buckets the
+    embedding corpus, exact int64 pairwise distance within each cluster only
+    (functions/similarity.semantic_dedup_pairs) — the published
+    cluster-then-exact-search method; cross-cluster pairs are non-candidates
+    by design, and the SQL oracle applies the identical constraint, so the
+    pair set is bit-identical."""
+    from pipeflow_ray.functions.similarity import semantic_dedup_pairs
+
+    seeds = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+            filter=pads.field("vec_id") < _KMEANS_K,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    init = np.stack(seeds.embedding.to_numpy()).astype(np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return semantic_dedup_pairs(
+        ds, k=_KMEANS_K, iters=_KMEANS_ITERS, tau2=_SEMDEDUP_TAU2,
+        scale=_KMEANS_SCALE, init=init,
     )
 
 

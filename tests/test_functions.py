@@ -782,3 +782,50 @@ def test_kmeans_empty_cluster_keeps_centroid():
     assert (got.cluster.to_numpy() == exp_a).all()
     assert (got.dist2.to_numpy() == exp_d).all()
     assert 2 not in set(got.cluster)  # the far seed stayed empty
+
+
+def test_semantic_dedup_pairs_vs_brute_force():
+    from pipeflow_ray.functions.similarity import semantic_dedup_pairs
+
+    rng = np.random.default_rng(23)
+    # two blobs; plant exact near-dup pairs inside each blob
+    a = rng.normal(0.0, 0.08, (30, 8))
+    b = rng.normal(0.7, 0.08, (30, 8))
+    x = np.concatenate([a, a[:4] + 1e-4, b, b[:3] + 1e-4]).astype(np.float32)
+    ids = np.arange(len(x), dtype=np.int64)
+    init = np.stack([a[0], b[0]]).astype(np.float64)
+    scale, tau2, iters = 10**6, 10**9, 3
+
+    # brute-force reference: same integer kmeans, same exact pair rule
+    asg, _ = _kmeans_brute(x, init, iters, scale)
+    xq = np.floor(x.astype(np.float64) * scale).astype(np.int64)
+    exp = set()
+    for i in range(len(x)):
+        for j in range(i + 1, len(x)):
+            if asg[i] == asg[j] and ((xq[i] - xq[j]) ** 2).sum() <= tau2:
+                exp.add((i, j))
+    assert len(exp) >= 7  # the planted pairs are found
+
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(x)})
+    for parts in (1, 6):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = semantic_dedup_pairs(
+            ds, k=2, iters=iters, tau2=tau2, init=init, num_buckets=4
+        ).to_pandas()
+        assert set(zip(got.id_a, got.id_b)) == exp
+        # dist2 values are the exact integers
+        for _, r in got.iterrows():
+            assert r.dist2 == ((xq[r.id_a] - xq[r.id_b]) ** 2).sum()
+
+
+def test_semantic_dedup_pairs_empty_result_schema():
+    from pipeflow_ray.functions.similarity import semantic_dedup_pairs
+
+    x = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 2.0]], dtype=np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(3, dtype=np.int64), "embedding": list(x)})
+    got = semantic_dedup_pairs(
+        ray.data.from_pandas(df), k=2, iters=1, tau2=1,
+        init=np.array([[0.0, 0.0], [2.0, 2.0]]),
+    )
+    assert got.schema().names == ["id_a", "id_b", "dist2"]
+    assert got.count() == 0
