@@ -909,6 +909,88 @@ def neardup_clusters(
 
 
 # ---------------------------------------------------------------------------
+# Conversation-level dedup over transcript tables: two conversations are
+# duplicates iff their ORDERED sequences of signature columns are identical
+# (sig_cols=["role","tool"] → template/shape dedup for agent-trajectory
+# balancing; include "text" → full-content conversation dedup).
+# ---------------------------------------------------------------------------
+
+_CONVDEDUP_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_CONV_NULL_SENTINEL = "\x1d"  # chr(29): distinguishes NULL from '' in both engines
+
+
+def _conv_sig_fn(key_col: str, order_col: str, sig_cols: list[str]):
+    """Per-bucket (conv-co-located) kernel: one position-sensitive 64-bit
+    signature per conversation. Row hashes are vectorized
+    (hash_pandas_object over the sig columns, NULLs mapped to chr(29) to
+    match SQL ``coalesce(col, chr(29))``); position is baked in by mixing
+    ``turn_idx`` into each row hash before a wrapping per-conv sum, so the
+    combine is order-independent but the signature is sequence-sensitive."""
+    from pipeflow_ray.functions.sampling import splitmix64
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, order_col], kind="stable")
+        vals = df[sig_cols].fillna(_CONV_NULL_SENTINEL)
+        rh = pd.util.hash_pandas_object(vals, index=False).to_numpy().astype(np.uint64)
+        pos = df[order_col].to_numpy().astype(np.uint64)
+        mixed = splitmix64(rh + pos * _CONVDEDUP_GOLDEN)
+        keys = df[key_col].to_numpy()
+        brk = np.empty(len(keys), dtype=bool)
+        brk[0] = True
+        brk[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(brk)
+        sig = np.add.reduceat(mixed, starts)  # uint64 wraps mod 2^64
+        n = np.diff(np.append(starts, len(keys)))
+        return pd.DataFrame({key_col: keys[starts],
+                             "sig_h": sig.view(np.int64),
+                             "n_turns": n.astype(np.int64)})
+
+    return _fn
+
+
+def _conv_canon_fn(key_col: str):
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["sig_h", "n_turns"], sort=False)[key_col].agg(["min", "count"])
+        g = g.rename(columns={"min": "canonical", "count": "group_size"}).reset_index()
+        out = df.merge(g, on=["sig_h", "n_turns"])
+        out["is_dup"] = (out[key_col] != out.canonical).astype(np.int64)
+        out["group_size"] = out.group_size.astype(np.int64)
+        return out.rename(columns={"canonical": f"canonical_{key_col}"})[
+            [key_col, f"canonical_{key_col}", "is_dup", "group_size"]
+        ]
+
+    return _fn
+
+
+def conv_template_dedup(
+    ds: ray.data.Dataset,
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    sig_cols: list[str] | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """One row per conversation: ``(conv_id, canonical_conv_id, is_dup,
+    group_size)`` where conversations with identical ordered *sig_cols*
+    sequences form a group and the lexicographically-smallest key is
+    canonical. Two keyed exchanges: conversations co-locate by key for the
+    signature scan (whole turns never leave that stage), then only
+    (key, sig_h, n_turns) int-sized rows exchange by signature for the
+    group-min. Group identity is the 64-bit mixed signature (+ n_turns) —
+    collisions are ~G²/2⁶⁵ and deterministic."""
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    sig_cols = sig_cols or ["role", "tool"]
+    sigs = grouped_by_bucket(ds, [key_col], _conv_sig_fn(key_col, order_col, sig_cols),
+                             num_buckets, batch_format="pandas")
+    out = grouped_by_bucket(sigs, ["sig_h"], _conv_canon_fn(key_col),
+                            num_buckets, batch_format="pandas")
+    return _stable_empty(out, pa.schema([
+        (key_col, pa.string()), (f"canonical_{key_col}", pa.string()),
+        ("is_dup", pa.int64()), ("group_size", pa.int64()),
+    ]))
+
+
+# ---------------------------------------------------------------------------
 # Exact substring-span dedup: duplicated k-gram coverage per document
 # (the two-pass fingerprint alternative to ExactSubstr suffix arrays —
 # "Deduplicating Training Data Makes Language Models Better", Lee et al. 2022)

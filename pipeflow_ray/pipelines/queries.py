@@ -800,6 +800,33 @@ def role_sequence_transcripts(sf_dir):
 
 
 @q(
+    "conv_dedup_transcripts",
+    f"""WITH sig AS (SELECT conv_id,
+             string_agg(coalesce(role, chr(29)) || chr(31) || coalesce(tool, chr(29)),
+                        chr(30) ORDER BY turn_idx) AS s
+         FROM read_parquet('{_TP001}') GROUP BY conv_id),
+     g AS (SELECT s, min(conv_id) AS canonical_conv_id,
+                  CAST(count(*) AS BIGINT) AS group_size FROM sig GROUP BY s)
+    SELECT sig.conv_id, g.canonical_conv_id,
+           CAST(CASE WHEN sig.conv_id <> g.canonical_conv_id THEN 1 ELSE 0 END AS BIGINT)
+               AS is_dup,
+           g.group_size
+    FROM sig JOIN g USING (s)""",
+)
+def conv_dedup_transcripts(sf_dir):
+    """Conversation template dedup (round 5): conversations with an identical
+    ordered (role, tool) turn sequence form one group; the smallest conv_id
+    is canonical (functions/dedup.conv_template_dedup — conv-keyed exchange
+    for the signature scan, then an int-only signature exchange for the
+    group-min; NULL tool maps to chr(29) in both engines so NULL ≠ '').
+    The agent-trajectory shape-balancing primitive."""
+    from pipeflow_ray.functions.dedup import conv_template_dedup
+
+    ds = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id", "turn_idx", "role", "tool"])
+    return conv_template_dedup(ds)
+
+
+@q(
     "tool_sequence_transcripts",
     f"""SELECT conv_id, string_agg(tool, ',' ORDER BY turn_idx) AS tools
         FROM read_parquet('{_TP001}') GROUP BY conv_id""",

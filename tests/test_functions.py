@@ -829,3 +829,46 @@ def test_semantic_dedup_pairs_empty_result_schema():
     )
     assert got.schema().names == ["id_a", "id_b", "dist2"]
     assert got.count() == 0
+
+
+def test_conv_template_dedup_vs_brute_force():
+    from pipeflow_ray.functions.dedup import conv_template_dedup
+
+    rows = []
+    # c1 and c3 share the (role, tool) template; c2 differs by order;
+    # c4 has tool=None where c5 has tool='' (must NOT merge);
+    # c6 == c1 template AND text (full-content dup of nothing — text differs)
+    def conv(cid, seq):
+        for i, (role, tool, text) in enumerate(seq):
+            rows.append(dict(conv_id=cid, turn_idx=i, role=role, tool=tool, text=text))
+
+    conv("c1", [("user", None, "hi"), ("assistant", "search", "ok")])
+    conv("c3", [("user", None, "different text"), ("assistant", "search", "x")])
+    conv("c2", [("assistant", "search", "ok"), ("user", None, "hi")])
+    conv("c4", [("user", None, "a")])
+    conv("c5", [("user", "", "a")])
+    conv("c6", [("user", None, "hi"), ("assistant", "search", "ok")])
+    df = pd.DataFrame(rows)
+
+    for parts in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = (
+            conv_template_dedup(ds, num_buckets=4)
+            .to_pandas().sort_values("conv_id").reset_index(drop=True)
+        )
+        by = got.set_index("conv_id")
+        assert by.loc["c1"].canonical_conv_id == "c1" and by.loc["c1"].is_dup == 0
+        assert by.loc["c3"].canonical_conv_id == "c1" and by.loc["c3"].is_dup == 1
+        assert by.loc["c6"].canonical_conv_id == "c1" and by.loc["c6"].group_size == 3
+        assert by.loc["c2"].is_dup == 0  # order matters
+        assert by.loc["c4"].is_dup == 0 and by.loc["c5"].is_dup == 0  # NULL != ''
+        assert by.loc["c4"].canonical_conv_id == "c4"
+        assert by.loc["c5"].canonical_conv_id == "c5"
+
+    # full-content mode: only c1/c6-with-same-text merge when text included
+    got2 = (
+        conv_template_dedup(ds, sig_cols=["role", "tool", "text"], num_buckets=4)
+        .to_pandas().set_index("conv_id")
+    )
+    assert got2.loc["c6"].canonical_conv_id == "c1" and got2.loc["c6"].is_dup == 1
+    assert got2.loc["c3"].is_dup == 0  # text differs → not a content dup
