@@ -155,8 +155,13 @@ def _run_queries(sf_dir: str, reps: int = 2) -> dict[str, float]:
         "epoch_shuffle_docs",
         "winnow_fingerprint_docs",
         "minhash_pairs_docs",
+        "bm25_topk_docs",
+        "substring_dedup_docs",
+        "conv_dedup_transcripts",
         "ann_topk",
         "ann_corpus_topk",
+        "kmeans_embeddings",
+        "semdedup_embeddings",
         "sketch_quantiles_price",
         "unpivot_lineitem",
         "pivot_wider_transcripts",
