@@ -174,6 +174,7 @@ def _run_queries(sf_dir: str, reps: int = 2) -> dict[str, float]:
         "streaming_sketch_quantiles",
         "streaming_hll_distinct",
         "streaming_topk_convs",
+        "streaming_conv_dedup",
     ]
     out = {}
     for name in names:

@@ -919,21 +919,28 @@ _CONVDEDUP_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 _CONV_NULL_SENTINEL = "\x1d"  # chr(29): distinguishes NULL from '' in both engines
 
 
+def conv_row_mix(df: pd.DataFrame, order_col: str, sig_cols: list[str]) -> np.ndarray:
+    """Position-mixed per-row hash shared by the batch operator and the
+    streaming on-ingest runner (identical grouping by construction): row
+    hash over *sig_cols* (NULL → chr(29), matching SQL ``coalesce(col,
+    chr(29))``) with ``order_col`` mixed in, so a WRAPPING SUM of these is
+    order-independent to compute yet sequence-sensitive in value."""
+    from pipeflow_ray.functions.sampling import splitmix64
+
+    vals = df[sig_cols].fillna(_CONV_NULL_SENTINEL)
+    rh = pd.util.hash_pandas_object(vals, index=False).to_numpy().astype(np.uint64)
+    pos = df[order_col].to_numpy().astype(np.uint64)
+    return splitmix64(rh + pos * _CONVDEDUP_GOLDEN)
+
+
 def _conv_sig_fn(key_col: str, order_col: str, sig_cols: list[str]):
     """Per-bucket (conv-co-located) kernel: one position-sensitive 64-bit
-    signature per conversation. Row hashes are vectorized
-    (hash_pandas_object over the sig columns, NULLs mapped to chr(29) to
-    match SQL ``coalesce(col, chr(29))``); position is baked in by mixing
-    ``turn_idx`` into each row hash before a wrapping per-conv sum, so the
-    combine is order-independent but the signature is sequence-sensitive."""
-    from pipeflow_ray.functions.sampling import splitmix64
+    signature per conversation — wrapping per-conv sum of
+    :func:`conv_row_mix` row hashes."""
 
     def _fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key_col, order_col], kind="stable")
-        vals = df[sig_cols].fillna(_CONV_NULL_SENTINEL)
-        rh = pd.util.hash_pandas_object(vals, index=False).to_numpy().astype(np.uint64)
-        pos = df[order_col].to_numpy().astype(np.uint64)
-        mixed = splitmix64(rh + pos * _CONVDEDUP_GOLDEN)
+        mixed = conv_row_mix(df, order_col, sig_cols)
         keys = df[key_col].to_numpy()
         brk = np.empty(len(keys), dtype=bool)
         brk[0] = True

@@ -799,9 +799,7 @@ def role_sequence_transcripts(sf_dir):
     return group_concat(ds, ["conv_id"], "role", "turn_idx", sep=",", out="roles")
 
 
-@q(
-    "conv_dedup_transcripts",
-    f"""WITH sig AS (SELECT conv_id,
+_CONV_DEDUP_SQL = f"""WITH sig AS (SELECT conv_id,
              string_agg(coalesce(role, chr(29)) || chr(31) || coalesce(tool, chr(29)),
                         chr(30) ORDER BY turn_idx) AS s
          FROM read_parquet('{_TP001}') GROUP BY conv_id),
@@ -811,8 +809,10 @@ def role_sequence_transcripts(sf_dir):
            CAST(CASE WHEN sig.conv_id <> g.canonical_conv_id THEN 1 ELSE 0 END AS BIGINT)
                AS is_dup,
            g.group_size
-    FROM sig JOIN g USING (s)""",
-)
+    FROM sig JOIN g USING (s)"""
+
+
+@q("conv_dedup_transcripts", _CONV_DEDUP_SQL)
 def conv_dedup_transcripts(sf_dir):
     """Conversation template dedup (round 5): conversations with an identical
     ordered (role, tool) turn sequence form one group; the smallest conv_id
@@ -824,6 +824,20 @@ def conv_dedup_transcripts(sf_dir):
 
     ds = ray.data.read_parquet(_tp(sf_dir), columns=["conv_id", "turn_idx", "role", "tool"])
     return conv_template_dedup(ds)
+
+
+@q("streaming_conv_dedup", _CONV_DEDUP_SQL)
+def streaming_conv_dedup(sf_dir):
+    """Conversation template dedup ON INGEST (round 5): parallel shard
+    replayers pre-reduce each micro-batch to per-conv partial signatures and
+    route them to bucketed state actors; the wrapping-sum combine is
+    commutative, so turns split across shards/replayers/batches in any
+    interleaving give the batch-identical result — the SAME SQL oracle as
+    conv_dedup_transcripts (pipelines/streaming.StreamingConvDedupRunner)."""
+    from pipeflow_ray.pipelines.streaming import StreamingConvDedupRunner
+
+    out, _metrics = StreamingConvDedupRunner().run(_tp(sf_dir))
+    return out
 
 
 @q(

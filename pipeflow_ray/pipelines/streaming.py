@@ -2992,3 +2992,149 @@ class StreamingTopKRunner:
                    "shards": len(files), "replayers": len(groups),
                    "replayer_rows": [int(r) for r in rows]}
         return result, metrics
+
+
+# ---------------------------------------------------------------------------
+# Streaming conversation template dedup (dedup-on-ingest for transcript
+# streams): the batch `functions/dedup.conv_template_dedup` semantics in one
+# pass. Because a conversation's signature is a WRAPPING SUM of
+# position-mixed row hashes (functions/dedup.conv_row_mix — the same kernel
+# as batch), the combine is associative/commutative: turns of one
+# conversation may arrive split across shards, replayers and micro-batches
+# in ANY interleaving and the end-of-stream signature is bit-identical to
+# the sequential pass. State is one (uint64, int64) pair per conversation —
+# O(conversations), never turns or text.
+# ---------------------------------------------------------------------------
+
+_MASK64 = (1 << 64) - 1
+
+
+@ray.remote(num_cpus=0.25)
+class ConvSigBucketActor:
+    """Per-conversation accumulating signature state for one key bucket."""
+
+    def __init__(self):
+        self.sig: dict = {}
+        self.n: dict = {}
+
+    def process(self, keys: np.ndarray, sigs: np.ndarray, ns: np.ndarray) -> None:
+        # inputs are already pre-reduced to one row per conv per micro-batch
+        # (the DedupBucketActor pattern: the loop touches DISTINCT convs only)
+        sig, n = self.sig, self.n
+        for k, s, c in zip(keys.tolist(), sigs.tolist(), ns.tolist()):
+            sig[k] = (sig.get(k, 0) + (s & _MASK64)) & _MASK64
+            n[k] = n.get(k, 0) + c
+
+    def flush(self) -> pd.DataFrame:
+        keys = list(self.sig.keys())
+        sig_u = np.fromiter(self.sig.values(), np.uint64, len(keys))
+        return pd.DataFrame({
+            "__key": pd.array(keys, dtype="string"),
+            "sig_h": sig_u.view(np.int64),
+            "n_turns": np.fromiter(self.n.values(), np.int64, len(keys)),
+        })
+
+
+@ray.remote(num_cpus=0.5)
+def _replay_conv_shard(files: list, key_col: str, order_col: str,
+                       sig_cols: list, micro_batch_rows: int, *buckets) -> int:
+    """Stream one shard group: per micro-batch, mix row hashes (the shared
+    batch kernel), pre-reduce to one (conv, partial_sig, n) row per conv,
+    route by hash(conv) to the bucket state actors. Only conv-sized int
+    rows leave the task."""
+    from pipeflow_ray.functions.dedup import conv_row_mix
+
+    nb = len(buckets)
+    rows = 0
+    pending: list = []
+    cols = [key_col, order_col, *sig_cols]
+    for f in files:
+        for rb in pq.ParquetFile(str(f)).iter_batches(
+            batch_size=micro_batch_rows, columns=cols
+        ):
+            df = pa.Table.from_batches([rb]).to_pandas()
+            rows += len(df)
+            if not len(df):
+                continue
+            mixed = conv_row_mix(df, order_col, sig_cols)
+            keys = df[key_col].to_numpy()
+            order = np.argsort(keys, kind="stable")
+            ks, ms = keys[order], mixed[order]
+            brk = np.empty(len(ks), dtype=bool)
+            brk[0] = True
+            brk[1:] = ks[1:] != ks[:-1]
+            starts = np.flatnonzero(brk)
+            psig = np.add.reduceat(ms, starts)  # uint64 wraps
+            pn = np.diff(np.append(starts, len(ks))).astype(np.int64)
+            kconv = ks[starts]
+            b = (pd.util.hash_pandas_object(pd.Series(kconv), index=False)
+                 .to_numpy() % np.uint64(nb))
+            pending.extend(
+                buckets[k].process.remote(
+                    kconv[b == k], psig[b == k].view(np.int64), pn[b == k])
+                for k in range(nb)
+                if (b == k).any()
+            )
+            if len(pending) > 256:
+                ray.get(pending)
+                pending = []
+    if pending:
+        ray.get(pending)
+    return rows
+
+
+class StreamingConvDedupRunner:
+    """Single-pass streaming conversation template dedup: parallel shard
+    replayers → conv-bucketed signature state actors → end-of-stream flush →
+    one signature-keyed exchange for the group-min (the flushed frames go
+    straight from the actors into the exchange as object refs — the driver
+    never holds the conversation table). Result ≡ batch
+    ``conv_template_dedup`` under any shard interleaving (commutative
+    combine; tested)."""
+
+    def __init__(self, num_buckets: int = 8, max_replayers: int = 16,
+                 sig_cols: list | None = None):
+        self.num_buckets = num_buckets
+        self.max_replayers = max_replayers
+        self.sig_cols = sig_cols or ["role", "tool"]
+
+    def run(self, parquet_path: str, key_col: str = "conv_id",
+            order_col: str = "turn_idx", micro_batch_rows: int = 65_536):
+        import ray.data as _rd
+
+        from pipeflow_ray.functions.dedup import (
+            _conv_canon_fn,
+            _stable_empty,
+        )
+        from pipeflow_ray.stages.core import grouped_by_bucket
+
+        files = _shard_files(parquet_path)
+        groups = _shard_groups(files, self.max_replayers)
+        actors = [ConvSigBucketActor.remote() for _ in range(self.num_buckets)]
+        rows = ray.get([
+            _replay_conv_shard.remote(g, key_col, order_col, self.sig_cols,
+                                      micro_batch_rows, *actors)
+            for g in groups
+        ])
+        refs = [a.flush.remote() for a in actors]
+        ray.wait(refs, num_returns=len(refs), fetch_local=False)
+        _kill_actors(*actors)
+        sigs = _rd.from_pandas_refs(refs)
+
+        def _canon(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.rename(columns={"__key": key_col})
+            # extension "string" dtype was only for empty-frame schema
+            # stability in transport; emit object like the batch operator
+            df[key_col] = df[key_col].astype(object)
+            return _conv_canon_fn(key_col)(df)
+
+        out = grouped_by_bucket(sigs, ["sig_h"], _canon,
+                                self.num_buckets, batch_format="pandas")
+        out = _stable_empty(out, pa.schema([
+            (key_col, pa.string()), (f"canonical_{key_col}", pa.string()),
+            ("is_dup", pa.int64()), ("group_size", pa.int64()),
+        ]))
+        metrics = {"rows": int(sum(rows)), "shards": len(files),
+                   "replayers": len(groups),
+                   "replayer_rows": [int(r) for r in rows]}
+        return out, metrics

@@ -532,3 +532,51 @@ def test_streaming_vocab_equals_batch_tfidf(tmp_path):
         .sort_values("token").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
+
+
+def test_streaming_conv_dedup_equals_batch_across_shards(tmp_path):
+    """Conversations SPLIT ACROSS shards (their turns land in different
+    replayers, arbitrary interleaving): the streaming flush equals batch
+    conv_template_dedup bit-for-bit — the signature combine is a wrapping
+    sum of position-mixed row hashes, i.e. commutative."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from pipeflow_ray.functions.dedup import conv_template_dedup
+    from pipeflow_ray.pipelines.streaming import StreamingConvDedupRunner
+
+    rng = np.random.default_rng(13)
+    roles = ["user", "assistant", "tool"]
+    tools = [None, "search", "calc", ""]
+    rows = []
+    for c in range(30):
+        tpl = c % 6  # 6 templates → guaranteed dup groups
+        n = 3 + tpl
+        for i in range(n):
+            rows.append(dict(conv_id=f"conv_{c:03d}", turn_idx=i,
+                             role=roles[(tpl + i) % 3],
+                             tool=tools[(tpl * 7 + i) % 4]))
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=5).reset_index(drop=True)
+    d = tmp_path / "convs"
+    d.mkdir()
+    # scatter the SHUFFLED rows over 4 shards: every conversation straddles
+    # shard boundaries
+    for k, part in enumerate(np.array_split(df, 4)):
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       d / f"part-{k}.parquet")
+
+    batch = (
+        conv_template_dedup(
+            ray.data.from_pandas(pd.DataFrame(rows)).repartition(3), num_buckets=4)
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    for mb in (7, 4096):  # tiny micro-batches maximize interleaving
+        got, metrics = StreamingConvDedupRunner(num_buckets=4, max_replayers=4).run(
+            str(d), micro_batch_rows=mb)
+        got = got.to_pandas().sort_values("conv_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, batch)
+        assert metrics["rows"] == len(rows)
+    assert batch.is_dup.sum() >= 20  # dup groups exist (5 of each template)
