@@ -103,6 +103,43 @@ def main():
     print(f"packing: {len(packed)} docs → {n_seqs} sequences of ≤512 tokens "
           f"({fill:.0%} mean fill)")
 
+    # --- substring-span dedup (ExactSubstr-style): duplicated 20-gram
+    # coverage per doc — trim or drop the high-coverage tail
+    from pipeflow_ray.functions.dedup import substring_dup_stats
+
+    spans = substring_dup_stats(docs, k=20).to_pandas()
+    heavy = spans[spans.dup_frac_micro >= 500_000]
+    print(f"substring dedup: {int(spans.n_dup_grams.sum())} duplicated "
+          f"positions; {len(heavy)}/{len(spans)} docs ≥50% dup-span coverage")
+
+    # --- semantic clustering + SemDeDup over the embedding table
+    from pipeflow_ray.functions.similarity import (
+        kmeans_assignments,
+        semantic_dedup_pairs,
+    )
+
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"])
+    asg = kmeans_assignments(emb, k=4, iters=3).to_pandas()
+    print(f"kmeans: cluster sizes {asg.cluster.value_counts().sort_index().to_dict()}")
+    sem = semantic_dedup_pairs(emb, k=4, iters=3, tau2=1_450_000_000_000).to_pandas()
+    print(f"semdedup: {len(sem)} in-cluster near-dup pairs")
+
+    # --- conversation template dedup over transcripts (batch + on-ingest)
+    from pipeflow_ray.fixtures import ensure_transcripts
+    from pipeflow_ray.functions.dedup import conv_template_dedup
+    from pipeflow_ray.pipelines.streaming import StreamingConvDedupRunner
+
+    tp = ensure_transcripts("/root/testdata/sf0.001")
+    convs = ray.data.read_parquet(tp, columns=["conv_id", "turn_idx", "role", "tool"])
+    cd = conv_template_dedup(convs).to_pandas()
+    scd, _m = StreamingConvDedupRunner().run(tp)
+    scd = scd.to_pandas()
+    assert scd.sort_values("conv_id").is_dup.tolist() == \
+        cd.sort_values("conv_id").is_dup.tolist()
+    print(f"conv template dedup: {int(cd.is_dup.sum())}/{len(cd)} convs are "
+          f"shape-duplicates (streaming ≡ batch)")
+
 
 if __name__ == "__main__":
     if not ray.is_initialized():
