@@ -150,6 +150,7 @@ def _run_queries(sf_dir: str, reps: int = 2) -> dict[str, float]:
         "turn_analytics_transcripts",
         "repetition_docs",
         "tfidf_docs",
+        "inverted_index_docs",
         "dedup_exact_docs",
         "pack_sequences_docs",
         "epoch_shuffle_docs",

@@ -358,6 +358,43 @@ def _tfidf_reduce(df: pd.DataFrame, n_docs: int, id_col: str) -> pd.DataFrame:
     return out
 
 
+def _inverted_reduce(df: pd.DataFrame, id_col: str, sep: str) -> pd.DataFrame:
+    """Per-token-bucket reduce: df, total tf, and the ascending-doc-id
+    posting string. One C-level join per TOKEN (the group_concat
+    discipline), never per row."""
+    df = df.sort_values(["token", id_col], kind="stable")
+    ids = df[id_col].astype(str)
+    g = df.groupby("token", sort=False)
+    out = g.agg(df_docs=(id_col, "size"), total_tf=("tf", "sum")).reset_index()
+    out["postings"] = g[id_col].agg(
+        lambda s: sep.join(ids.loc[s.index])).to_numpy()
+    out["df_docs"] = out.df_docs.astype(np.int64)
+    out["total_tf"] = out.total_tf.astype(np.int64)
+    return out[["token", "df_docs", "total_tf", "postings"]]
+
+
+def inverted_index(docs, text_col: str = "text", id_col: str = "doc_id",
+                   num_buckets: int | None = None, sep: str = ","):
+    """Inverted index build: one row per token with document frequency,
+    total term frequency, and the ascending-id posting list (joined string)
+    — the IR index stage over a curated corpus. Same shape as
+    :func:`tfidf_terms`: per-batch explode to (doc, token, tf) rows, ONE
+    token-keyed exchange co-locating each term's postings. Hot-token skew
+    note as there: a stopword's postings land in one bucket — cap or drop
+    stopword-frequency terms at corpus scale."""
+    import functools
+
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    tf = docs.map_batches(
+        functools.partial(_doc_token_tf, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+    )
+    red = functools.partial(_inverted_reduce, id_col=id_col, sep=sep)
+    return grouped_by_bucket(tf, ["token"], red, num_buckets=num_buckets,
+                             batch_format="pandas")
+
+
 def tfidf_terms(docs, text_col: str = "text", id_col: str = "doc_id",
                 num_buckets: int | None = None):
     """Corpus vocabulary statistics + per-(doc, token) tf-idf scores — the

@@ -2393,6 +2393,30 @@ def tfidf_docs(sf_dir):
 
 
 @q(
+    "inverted_index_docs",
+    """WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+                  FROM documents),
+            tk AS (SELECT doc_id, unnest(toks) AS token FROM d),
+            tf AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+                   FROM tk GROUP BY 1, 2)
+       SELECT token,
+              CAST(count(*) AS BIGINT) AS df_docs,
+              CAST(sum(tf) AS BIGINT) AS total_tf,
+              string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+       FROM tf GROUP BY token""",
+)
+def inverted_index_docs(sf_dir):
+    """Inverted-index build (round 5): token → (document frequency, total
+    term frequency, ascending-id posting string) via one token-keyed
+    exchange (functions/text.inverted_index) — the IR index stage; posting
+    strings are bit-identical to SQL string_agg ORDER BY."""
+    from pipeflow_ray.functions.text import inverted_index
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return inverted_index(docs)
+
+
+@q(
     "bm25_topk_docs",
     """WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
                   FROM documents),

@@ -872,3 +872,27 @@ def test_conv_template_dedup_vs_brute_force():
     )
     assert got2.loc["c6"].canonical_conv_id == "c1" and got2.loc["c6"].is_dup == 1
     assert got2.loc["c3"].is_dup == 0  # text differs → not a content dup
+
+
+def test_inverted_index_vs_brute_force():
+    from pipeflow_ray.functions.text import inverted_index
+
+    df = pd.DataFrame({
+        "doc_id": [10, 3, 7, 5],
+        "text": ["a b a", "b c", None, "c a c b"],
+    })
+    got = (
+        inverted_index(ray.data.from_pandas(df).repartition(3), num_buckets=4)
+        .to_pandas().sort_values("token").reset_index(drop=True)
+    )
+    exp = {
+        # token: (df_docs, total_tf, postings ascending by doc id)
+        "a": (2, 3, "5,10"),
+        "b": (3, 3, "3,5,10"),
+        "c": (2, 3, "3,5"),
+        "": (1, 1, "7"),  # null text → one empty-string token (split of '')
+    }
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        d, t, p = exp[r.token]
+        assert (r.df_docs, r.total_tf, r.postings) == (d, t, p), r.token
