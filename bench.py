@@ -163,6 +163,7 @@ def _run_queries(sf_dir: str, reps: int = 2) -> dict[str, float]:
         "ann_corpus_topk",
         "kmeans_embeddings",
         "semdedup_embeddings",
+        "knn_classify_embeddings",
         "sketch_quantiles_price",
         "unpivot_lineitem",
         "pivot_wider_transcripts",

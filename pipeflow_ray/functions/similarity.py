@@ -20,6 +20,7 @@ from __future__ import annotations
 import functools as _functools
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -567,6 +568,105 @@ def _sem_pairs(tau2: int, scale: int):
                          "dist2": pa.array(np.concatenate(out_d))})
 
     return _fn
+
+
+def _knn_partial(t: pa.Table, *, qref, k: int, scale: int, vec_col: str,
+                 id_col: str) -> pa.Table:
+    """Per-batch partial k-NN under EXACT int64 squared distance: this
+    batch's vectors are candidate neighbors for every (broadcast) query;
+    emit each query's local top-k. Self-pairs are dropped (classification
+    must not vote with the query's own label)."""
+    qids, qx = _cached_broadcast(qref)  # (Q,), (Q, d) int64
+    if not t.num_rows:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "nbr_id": pa.array([], pa.int64()),
+                         "dist2": pa.array([], pa.int64())})
+    x = _quantize(t, vec_col, scale)
+    ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    # candidate columns ascending by id, so the STABLE argsort below breaks
+    # distance ties by id — the partial is layout-invariant (a tie at the
+    # local k-th boundary must keep the lowest id, same as the merge rule)
+    o = np.argsort(ids, kind="stable")
+    x, ids = x[o], ids[o]
+    # (Q, B) exact distances via the dot identity
+    g = qx @ x.T
+    qn = np.einsum("ij,ij->i", qx, qx)
+    xn = np.einsum("ij,ij->i", x, x)
+    d2 = qn[:, None] + xn[None, :] - 2 * g
+    self_mask = qids[:, None] == ids[None, :]
+    d2 = np.where(self_mask, np.iinfo(np.int64).max, d2)
+    kk = min(k, d2.shape[1])
+    top = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+    out_q = np.repeat(qids, kk)
+    out_i = ids[top.ravel()]
+    out_d = np.take_along_axis(d2, top, axis=1).ravel()
+    keep = out_d != np.iinfo(np.int64).max  # masked self rows in thin batches
+    return pa.table({"query_id": pa.array(out_q[keep]),
+                     "nbr_id": pa.array(out_i[keep]),
+                     "dist2": pa.array(out_d[keep])})
+
+
+def knn_classify(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    scale: int = 1_000_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Leave-one-out k-NN classification over an embedding table: each
+    vector is labeled by the majority label of its k nearest OTHER vectors
+    under the EXACT integer squared distance (quantized, like
+    :func:`kmeans_assignments` — bit-reproducible, no float ties). Neighbor
+    ties at the k-th distance break by id ascending; vote ties break by
+    smallest label.
+
+    Shape: the (id, quantized-vector) query matrix is broadcast once; each
+    corpus batch emits its local top-k per query (≤ Q×k int rows); a
+    query-keyed exchange merges partials and votes. The broadcast is O(n·d)
+    ints — the brute-force baseline; for corpus-scale n route both sides
+    through IVF cells (:func:`corpus_topk`) instead."""
+    from pipeflow_ray.functions.dedup import _stable_empty
+    from pipeflow_ray.stages.core import grouped_by_bucket
+
+    side = ds.map_batches(
+        lambda t: t.select([id_col, vec_col, label_col]), batch_format="pyarrow"
+    ).to_pandas()
+    side = side.sort_values(id_col)
+    qids = side[id_col].to_numpy(np.int64)
+    qx = np.floor(np.stack(side[vec_col].to_numpy()).astype(np.float64)
+                  * float(scale)).astype(np.int64)
+    labels = dict(zip(side[id_col].tolist(), side[label_col].tolist()))
+    qref = ray.put((qids, qx))
+    lref = ray.put(labels)
+
+    partials = ds.map_batches(
+        _knn_partial,
+        fn_kwargs=dict(qref=qref, k=k, scale=scale, vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow")
+
+    def _vote(df: pd.DataFrame) -> pd.DataFrame:
+        lab = _cached_broadcast(lref)
+        df = df.sort_values(["query_id", "dist2", "nbr_id"], kind="mergesort")
+        top = df.groupby("query_id", sort=False).head(k).copy()
+        top["nbr_label"] = top.nbr_id.map(lab)
+        votes = (top.groupby(["query_id", "nbr_label"], sort=False).size()
+                 .reset_index(name="n_votes"))
+        votes = votes.sort_values(["query_id", "n_votes", "nbr_label"],
+                                  ascending=[True, False, True], kind="mergesort")
+        best = votes.groupby("query_id", sort=False).head(1)
+        return pd.DataFrame({
+            id_col: best.query_id.to_numpy(np.int64),
+            "pred_label": best.nbr_label.to_numpy(np.int64),
+            "n_votes": best.n_votes.to_numpy(np.int64),
+        })
+
+    out = grouped_by_bucket(partials, ["query_id"], _vote, num_buckets,
+                            batch_format="pandas")
+    return _stable_empty(out, pa.schema([
+        (id_col, pa.int64()), ("pred_label", pa.int64()), ("n_votes", pa.int64()),
+    ]))
 
 
 def semantic_dedup_pairs(

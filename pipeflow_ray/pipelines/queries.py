@@ -2098,6 +2098,52 @@ def kmeans_embeddings(sf_dir):
     )
 
 
+_KNN_K = 5
+
+
+def _knn_sql(k: int, scale: int) -> str:
+    """Leave-one-out k-NN vote replayed in SQL: exact integer distances
+    (same quantization as kmeans), neighbors ranked (dist2, nbr_id), vote
+    ranked (count DESC, label ASC) — every tie rule integer-deterministic."""
+    return f"""
+WITH e AS (SELECT vec_id, unnest(embedding) AS ev,
+                  generate_subscripts(embedding, 1) AS dim FROM embeddings),
+ q AS (SELECT vec_id, dim, CAST(floor(CAST(ev AS DOUBLE) * {scale}.0) AS BIGINT) AS x
+       FROM e),
+ p AS (SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+              CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS dist2
+       FROM q a JOIN q b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+       GROUP BY 1, 2),
+ r AS (SELECT query_id, nbr_id, dist2,
+              row_number() OVER (PARTITION BY query_id ORDER BY dist2, nbr_id) AS rk
+       FROM p),
+ t AS (SELECT r.query_id, e2.label
+       FROM r JOIN embeddings e2 ON e2.vec_id = r.nbr_id WHERE r.rk <= {k}),
+ v AS (SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_votes
+       FROM t GROUP BY 1, 2),
+ w AS (SELECT query_id, label, n_votes,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY n_votes DESC, label) AS vr
+       FROM v)
+SELECT query_id AS vec_id, CAST(label AS BIGINT) AS pred_label, n_votes
+FROM w WHERE vr = 1"""
+
+
+@q("knn_classify_embeddings", _knn_sql(_KNN_K, _KMEANS_SCALE))
+def knn_classify_embeddings(sf_dir):
+    """Leave-one-out k-NN label classification (round 5): every vector
+    labeled by the majority label of its 5 nearest OTHER vectors under the
+    exact quantized integer distance (functions/similarity.knn_classify —
+    broadcast query matrix, per-batch stable partial top-k, query-keyed vote
+    exchange). All tie rules are integer-deterministic, so predictions are
+    bit-identical to the SQL replay."""
+    from pipeflow_ray.functions.similarity import knn_classify
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"])
+    return knn_classify(ds, k=_KNN_K, scale=_KMEANS_SCALE)
+
+
 _SEMDEDUP_TAU2 = 1_400_000_000_000
 
 

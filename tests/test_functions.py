@@ -896,3 +896,46 @@ def test_inverted_index_vs_brute_force():
     for _, r in got.iterrows():
         d, t, p = exp[r.token]
         assert (r.df_docs, r.total_tf, r.postings) == (d, t, p), r.token
+
+
+def test_knn_classify_vs_brute_force_with_ties():
+    from pipeflow_ray.functions.similarity import knn_classify
+
+    # grid points where several neighbors are EXACTLY equidistant — the
+    # k-th-boundary tie must break by id and the vote tie by smallest label
+    pts = np.array([
+        [0.0, 0.0],   # 0: four unit-distance neighbors (1,2,3,4) + corner 5
+        [1.0, 0.0],   # 1
+        [-1.0, 0.0],  # 2
+        [0.0, 1.0],   # 3
+        [0.0, -1.0],  # 4
+        [1.0, 1.0],   # 5
+        [5.0, 5.0],   # 6: far cluster
+        [5.0, 6.0],   # 7
+        [6.0, 5.0],   # 8
+    ], dtype=np.float32)
+    labels = np.array([0, 1, 1, 2, 2, 0, 3, 3, 3], dtype=np.int32)
+    k, scale = 3, 10**6
+
+    xq = np.floor(pts.astype(np.float64) * scale).astype(np.int64)
+
+    def brute(i):
+        d = ((xq - xq[i]) ** 2).sum(1)
+        order = sorted((int(d[j]), j) for j in range(len(pts)) if j != i)[:k]
+        from collections import Counter
+        votes = Counter(int(labels[j]) for _, j in order)
+        best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        return best[0], best[1]
+
+    df = pd.DataFrame({"vec_id": np.arange(len(pts), dtype=np.int64),
+                       "embedding": list(pts), "label": labels})
+    for parts in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = (knn_classify(ds, k=k, num_buckets=4)
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        for _, r in got.iterrows():
+            pl, nv = brute(int(r.vec_id))
+            assert (r.pred_label, r.n_votes) == (pl, nv), int(r.vec_id)
+    # the equidistant case really exercised the tie: point 0's three nearest
+    # among four unit-distance neighbors are ids 1,2,3 → labels 1,1,2 → 1
+    assert got.set_index("vec_id").loc[0].pred_label == 1
