@@ -279,21 +279,54 @@ def bench_scaling() -> dict:
     ensure_transcripts(float(scaling_sf))  # generate once, shared by both runs
     sf_dir = os.path.join(FIXTURE_ROOT, f"sf{float(scaling_sf)}")
 
-    def run(ncpu: int) -> dict:
+    def run(ncpu: int, reps: str) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1",
                    GRAFT_SF_DIR=sf_dir, PYTHONPATH=REPO, OMP_NUM_THREADS="1",
                    # scaling compares the SAME pipeline at two parallelism
                    # levels — the efficiency is already a same-host ratio, so
                    # the A/B interleave would only double the runtime
-                   GRAFT_NO_AB="1",
-                   GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "3"))
+                   GRAFT_NO_AB="1", GRAFT_BENCH_REPS=reps)
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(lo_n), run(hi_n)
+    if os.environ.get("GRAFT_SCALE_INTERLEAVE"):
+        # Interleave the two levels IN TIME (lo,hi,hi,lo,lo,hi …): the
+        # host's bursty external contention (see BASELINE.md attempts 1/3/4,
+        # where a burst hit exactly one side and collapsed the ratio) then
+        # taxes both levels symmetrically — the scaling analog of the
+        # headline's pinned-A/B discipline. min-of-reps per level.
+        reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
+        los, his = [], []
+        for i in range(reps):
+            order = ((lo_n, los), (hi_n, his)) if i % 2 == 0 else ((hi_n, his), (lo_n, los))
+            for n, acc in order:
+                acc.append(run(n, "1"))
+        lo_sec = min(r["value"] for r in los)
+        hi_sec = min(r["value"] for r in his)
+        turns, sf = los[0]["turns"], los[0]["sf"]
+        tput_lo = round(turns / lo_sec, 1)
+        tput_hi = round(turns / hi_sec, 1)
+        eff = (tput_hi / tput_lo) / (hi_n / lo_n)
+        return {
+            "metric": (f"scaling efficiency, flagship pipeline, num_cpus {lo_n} vs "
+                       f"{hi_n} (N vs 4N proxy), time-interleaved"),
+            f"sec_{lo_n}": lo_sec,
+            f"sec_{hi_n}": hi_sec,
+            f"turns_per_sec_{lo_n}": tput_lo,
+            f"turns_per_sec_{hi_n}": tput_hi,
+            "scaling_efficiency": round(eff, 3),
+            "sf": sf,
+            "turns": turns,
+            "mode": "interleaved",
+            f"walls_{lo_n}": [r["value"] for r in los],
+            f"walls_{hi_n}": [r["value"] for r in his],
+        }
+
+    lo = run(lo_n, os.environ.get("GRAFT_BENCH_REPS", "3"))
+    hi = run(hi_n, os.environ.get("GRAFT_BENCH_REPS", "3"))
     tput_lo = lo["turns_per_sec"]
     tput_hi = hi["turns_per_sec"]
     eff = (tput_hi / tput_lo) / (hi_n / lo_n)
