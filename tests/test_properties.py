@@ -266,3 +266,63 @@ def test_unpivot_pivot_roundtrip_property(t):
     merged = back.merge(ref, on=["k", "cat"], how="left", suffixes=("", "_ref"))
     merged["v_ref"] = merged.v_ref.fillna(0)
     assert (merged.v == merged.v_ref).all()
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(1, 60)),  # (doc, position)
+        min_size=0, max_size=120, unique=True,
+    ),
+    st.integers(2, 12),
+)
+@_settings
+def test_dupspan_island_coverage_property(pos_pairs, k):
+    """The vectorized island merge in substring dedup equals a brute-force
+    interval union of [g, g+k) per doc — pure kernel, no Ray."""
+    from pipeflow_ray.functions.dedup import _dupspan_coverage
+
+    docs = sorted({d for d, _ in pos_pairs} | {0, 1, 2, 3, 4})
+    rows = [{"doc_id": d, "g": -1, "v": 100} for d in docs]  # stat rows
+    rows += [{"doc_id": d, "g": g, "v": 0} for d, g in pos_pairs]
+    out = _dupspan_coverage(k)(pd.DataFrame(rows)).set_index("doc_id")
+
+    for d in docs:
+        mine = out.loc[d]
+        covered = set()
+        pos = [g for dd, g in pos_pairs if dd == d]
+        for g in pos:
+            covered.update(range(g, g + k))
+        assert mine.n_dup_grams == len(pos)
+        assert mine.dup_chars == len(covered)
+        assert mine.n_chars == 100 and mine.n_grams == 100 - k + 1
+        assert mine.dup_frac_micro == int(np.floor(1e6 * len(covered) / 100))
+
+
+@given(st.data())
+@_settings
+def test_conv_row_mix_order_independent_sum_property(data):
+    """The conversation signature (wrapping SUM of position-mixed row
+    hashes) is invariant under ANY row permutation — the property the
+    streaming on-ingest runner's correctness rests on."""
+    from pipeflow_ray.functions.dedup import conv_row_mix
+
+    n = data.draw(st.integers(1, 30))
+    roles = data.draw(st.lists(st.sampled_from(["u", "a", None, ""]),
+                               min_size=n, max_size=n))
+    tools = data.draw(st.lists(st.sampled_from([None, "s", "c", ""]),
+                               min_size=n, max_size=n))
+    df = pd.DataFrame({"turn_idx": np.arange(n), "role": roles, "tool": tools})
+    perm = data.draw(st.permutations(range(n)))
+    a = conv_row_mix(df, "turn_idx", ["role", "tool"]).sum()  # uint64 wraps
+    b = conv_row_mix(df.iloc[list(perm)].reset_index(drop=True),
+                     "turn_idx", ["role", "tool"]).sum()
+    assert a == b
+    # and it IS sequence-sensitive: swapping two distinct rows' positions
+    # changes the signature (if any two rows differ)
+    vals = list(zip(roles, tools))
+    if len(set(vals)) > 1:
+        i = next(i for i in range(n) for j in range(n) if vals[i] != vals[j])
+        j = next(j for j in range(n) if vals[i] != vals[j])
+        df2 = df.copy()
+        df2.loc[[i, j], ["role", "tool"]] = df.loc[[j, i], ["role", "tool"]].to_numpy()
+        assert conv_row_mix(df2, "turn_idx", ["role", "tool"]).sum() != a
